@@ -1,0 +1,250 @@
+"""On-device keypoint detection + guiding-offset limb collection.
+
+TPU-native redesign of the reference's GPU decode stage (decoder/heatmap.py,
+decoder/collect.py, decoder/offset.py): everything here is batched, fixed-shape
+and jittable -- peak NMS is a reduce_window, per-channel top-k is
+`jax.lax.top_k`, limb pairing is a dense (L, K, K) masked min -- so the whole
+pipeline fuses into one XLA program with no host round-trip.
+
+Array layout: feature maps are NHWC (`(N, H, W, C)`), TPU's preferred layout.
+Candidate tensors are kept as a structured `Limbs` pytree instead of the
+reference's packed `(N, L, K, 13)` float matrix (decoder/collect.py:220-233);
+`pack_limbs` produces that layout for interop and testing.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.defaults import DecoderConfig
+
+
+class Limbs(NamedTuple):
+    """All candidate limbs of a batch; every leaf is (N, L, K) or (N, L, K, 2).
+
+    Field meanings mirror the columns of the reference's limbs tensor
+    (decoder/collect.py:220-233).
+    """
+    xy_f: jax.Array        # (N, L, K, 2) start-keypoint coordinates
+    score_f: jax.Array     # (N, L, K) start-keypoint heatmap response
+    xy_t: jax.Array        # (N, L, K, 2) matched end-keypoint coordinates
+    score_t: jax.Array     # (N, L, K)
+    ind_f: jax.Array       # (N, L, K) int32 global keypoint index (channel*H*W + flat)
+    ind_t: jax.Array       # (N, L, K) int32
+    min_dist: jax.Array    # (N, L, K) guiding-offset endpoint error ("len_delta")
+    len_limb: jax.Array    # (N, L, K) clamped limb length
+    limb_score: jax.Array  # (N, L, K) v_f * v_t * exp(-min_dist/len_limb)
+    scale_f: jax.Array     # (N, L, K) keypoint scale at start joint
+    scale_t: jax.Array     # (N, L, K)
+
+
+def hmp_nms(heat: jax.Array, kernel: int = 3) -> jax.Array:
+    """3x3 max-pool peak NMS: non-peak responses are zeroed.
+
+    Equivalent to decoder/heatmap.py:15-35. `heat` is (N, H, W, C).
+    Zero-padding (not -inf) matches the reference's F.pad default, which
+    can suppress negative border "peaks" -- intended behavior for heatmaps.
+    """
+    pad = (kernel - 1) // 2
+    # zero-pad first (the reference F.pads with zeros, which can suppress
+    # negative border peaks -- intended for heatmaps), then a VALID max window
+    padded = jnp.pad(heat, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hmax = jax.lax.reduce_window(
+        padded, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, 1, 1, 1),
+        padding='VALID')
+    return jnp.where(hmax == heat, heat, 0.0)
+
+
+def topk_channel(scores: jax.Array, k: int):
+    """Top-K responses per heatmap channel (decoder/heatmap.py:38-49).
+
+    Args:
+        scores: (N, H, W, C)
+    Returns:
+        (scores, flat_inds, ys, xs), each (N, C, K); inds index into H*W
+        row-major, ys/xs are int32 pixel coordinates.
+    """
+    n, h, w, c = scores.shape
+    flat = scores.transpose(0, 3, 1, 2).reshape(n, c, h * w)
+    topk_scores, topk_inds = jax.lax.top_k(flat, k)
+    topk_inds = topk_inds.astype(jnp.int32)
+    return topk_scores, topk_inds, topk_inds // w, topk_inds % w
+
+
+def joint_dets(hmps: jax.Array, k: int, nms_kernel: int = 3):
+    """NMS + top-k composition (decoder/heatmap.py:52-59)."""
+    return topk_channel(hmp_nms(hmps, nms_kernel), k)
+
+
+def scored_offset(hmp: jax.Array, off: jax.Array, jtypes_f: np.ndarray,
+                  kernel_size: int = 3) -> jax.Array:
+    """Heatmap-score-weighted local average of guiding offsets.
+
+    Optional refinement (decoder/offset.py:8-43): offsets are averaged over a
+    k x k window with the start-joint heatmap response as weights.
+
+    Args:
+        hmp: (N, H, W, C) heatmaps.
+        off: (N, H, W, 2L) guiding offsets.
+        jtypes_f: (L,) start-joint channel per limb.
+    """
+    n, h, w, c2 = off.shape
+    L = c2 // 2
+    score = jnp.take(hmp, jnp.asarray(jtypes_f), axis=-1)         # (N, H, W, L)
+    somap = off.reshape(n, h, w, L, 2) * score[..., None]          # (N,H,W,L,2)
+
+    def box_sum(x):
+        pad = (kernel_size - 1) // 2
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            window_dimensions=(1, kernel_size, kernel_size) + (1,) * (x.ndim - 3),
+            window_strides=(1,) * x.ndim,
+            padding=((0, 0), (pad, pad), (pad, pad)) + ((0, 0),) * (x.ndim - 3))
+
+    mean_score = box_sum(score)                                    # (N, H, W, L)
+    weighted = box_sum(somap) / (mean_score[..., None] + 1e-6)
+    return weighted.reshape(n, h, w, c2)
+
+
+def collect_limbs(
+    hmps: jax.Array,
+    offs: jax.Array,
+    jtypes_f: np.ndarray,
+    jtypes_t: np.ndarray,
+    cfg: DecoderConfig,
+    jomps: Optional[jax.Array] = None,
+    scmps: Optional[jax.Array] = None,
+    resize_factor: float = 1.0,
+) -> Limbs:
+    """Pair candidate keypoints into limbs guided by offset vectors.
+
+    Vectorized equivalent of decoder/collect.py:62-236. All inputs share the
+    same spatial resolution (the reference upsamples to input resolution first;
+    `resize_factor` rescales offset units if hmp/off strides differ).
+
+    Args:
+        hmps:  (N, H, W, C) keypoint heatmaps.
+        offs:  (N, H, W, 2L) guiding offsets in input-resolution units,
+               channel layout [x0, y0, x1, y1, ...].
+        jomps: (N, H, W, 2) jitter offsets to the nearest keypoint, or None.
+        scmps: (N, H, W, C) keypoint scale map, or None.
+    """
+    n, h, w, c = hmps.shape
+    L = len(jtypes_f)
+    k = cfg.topk
+    jf = jnp.asarray(jtypes_f, dtype=jnp.int32)
+    jt = jnp.asarray(jtypes_t, dtype=jnp.int32)
+
+    scores, inds, ys, xs = joint_dets(hmps, k, cfg.nms_kernel)  # (N, C, K)
+
+    def channel_dets(jtypes):
+        # (N, C, K) -> (N, L, K); low-response candidates pushed off-image
+        # (decoder/collect.py:246-254)
+        s = jnp.take(scores, jtypes, axis=1)
+        i = jnp.take(inds, jtypes, axis=1)
+        xy = jnp.stack([jnp.take(xs, jtypes, axis=1),
+                        jnp.take(ys, jtypes, axis=1)], axis=-1).astype(jnp.float32)
+        xy = jnp.where(s[..., None] < cfg.thre_hmp, xy - 100000.0, xy)
+        return i, s, xy
+
+    inds_f, scores_f, xys_f = channel_dets(jf)
+    inds_t, scores_t, xys_t = channel_dets(jt)
+
+    def gather_channel_map(cmap, jtypes, gather_inds):
+        # cmap (N, H, W, C) -> per-limb flat (N, L, H*W) -> gather (N, L, K)
+        flat = cmap.transpose(0, 3, 1, 2).reshape(n, c, h * w)
+        flat = jnp.take(flat, jtypes, axis=1)
+        return jnp.take_along_axis(flat, gather_inds, axis=-1)
+
+    if scmps is not None:
+        scales_f = gather_channel_map(scmps, jf, inds_f)
+        scales_t = gather_channel_map(scmps, jt, inds_t)
+    else:
+        scales_f = jnp.full_like(scores_f, cfg.default_scale)
+        scales_t = jnp.full_like(scores_t, cfg.default_scale)
+
+    def gather_vec2(vmap2, gather_inds):
+        # vmap2 (N, H, W, 2) -> (N, 1, H*W, 2) -> gathered (N, L, K, 2)
+        flat = vmap2.reshape(n, h * w, 2)[:, None]
+        idx = gather_inds[..., None]
+        return jnp.take_along_axis(
+            jnp.broadcast_to(flat, (n, L, h * w, 2)), idx, axis=2)
+
+    if jomps is not None:
+        jitter_f = gather_vec2(jomps, inds_f)
+        jitter_t = gather_vec2(jomps, inds_t)
+    else:
+        jitter_f = jnp.zeros((n, L, k, 2), dtype=xys_f.dtype)
+        jitter_t = jnp.zeros((n, L, k, 2), dtype=xys_t.dtype)
+
+    # gather guiding-offset vectors at start-keypoint positions
+    # offs (N, H, W, 2L) -> (N, H*W, L, 2) -> (N, L, H*W, 2)
+    off_lk = offs.reshape(n, h * w, L, 2).transpose(0, 2, 1, 3)
+    off_f = jnp.take_along_axis(off_lk, inds_f[..., None], axis=2)  # (N, L, K, 2)
+
+    # regressed end-joint positions (decoder/collect.py:152)
+    guid_t = xys_f + off_f * resize_factor
+
+    # dense pairing: (N, L, K, M) distance, min over end candidates M
+    dist = jnp.linalg.norm(guid_t[:, :, :, None, :] - xys_t[:, :, None, :, :],
+                           axis=-1)
+    min_dist = jnp.min(dist, axis=-1)
+    min_ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+    take = lambda v: jnp.take_along_axis(v, min_ind, axis=-1)
+    matched_score_t = take(scores_t)
+    matched_ind_t = take(inds_t)
+    matched_scale_t = take(scales_t)
+    matched_xys_t = jnp.take_along_axis(xys_t, min_ind[..., None], axis=2)
+    matched_jitter_t = jnp.take_along_axis(jitter_t, min_ind[..., None], axis=2)
+
+    # global keypoint indices across channels (decoder/collect.py:194-199)
+    page = jnp.int32(h * w)
+    gind_f = inds_f + jf[None, :, None] * page
+    gind_t = matched_ind_t + jt[None, :, None] * page
+
+    len_limb = jnp.maximum(
+        jnp.linalg.norm(xys_f - matched_xys_t, axis=-1), cfg.min_len)
+    limb_score = scores_f * matched_score_t * jnp.exp(-min_dist / len_limb)
+
+    # jitter refinement of final coordinates (decoder/collect.py:216-218)
+    if cfg.use_jitter_offset and jomps is not None:
+        xys_f = xys_f + jitter_f
+        matched_xys_t = matched_xys_t + matched_jitter_t
+
+    return Limbs(
+        xy_f=xys_f, score_f=scores_f,
+        xy_t=matched_xys_t, score_t=matched_score_t,
+        ind_f=gind_f, ind_t=gind_t,
+        min_dist=min_dist, len_limb=len_limb, limb_score=limb_score,
+        scale_f=scales_f, scale_t=matched_scale_t)
+
+
+def pack_limbs(limbs: Limbs) -> jax.Array:
+    """Pack to the reference's (N, L, K, 13) column layout
+    [x1,y1,v1,x2,y2,v2,ind1,ind2,len_delta,len_limb,limb_score,scale1,scale2]
+    (decoder/collect.py:220-233)."""
+    cols = [
+        limbs.xy_f[..., 0], limbs.xy_f[..., 1], limbs.score_f,
+        limbs.xy_t[..., 0], limbs.xy_t[..., 1], limbs.score_t,
+        limbs.ind_f.astype(jnp.float32), limbs.ind_t.astype(jnp.float32),
+        limbs.min_dist, limbs.len_limb, limbs.limb_score,
+        limbs.scale_f, limbs.scale_t,
+    ]
+    return jnp.stack(cols, axis=-1)
+
+
+def unpack_limbs(packed) -> Limbs:
+    """Inverse of `pack_limbs` (accepts numpy or jax arrays)."""
+    p = jnp.asarray(packed)
+    return Limbs(
+        xy_f=p[..., 0:2], score_f=p[..., 2],
+        xy_t=p[..., 3:5], score_t=p[..., 5],
+        ind_f=p[..., 6].astype(jnp.int32), ind_t=p[..., 7].astype(jnp.int32),
+        min_dist=p[..., 8], len_limb=p[..., 9], limb_score=p[..., 10],
+        scale_f=p[..., 11], scale_t=p[..., 12])

@@ -5,7 +5,10 @@ on host-platform virtual devices exactly as SURVEY.md section 4 prescribes.
 """
 import os
 
+# JAX_PLATFORMS can be overridden by the axon TPU plugin in this image;
+# JAX_PLATFORM_NAME reliably pins the host platform.
 os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+os.environ.setdefault('JAX_PLATFORM_NAME', 'cpu')
 flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in flags:
     os.environ['XLA_FLAGS'] = (
