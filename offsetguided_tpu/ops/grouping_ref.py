@@ -1,0 +1,159 @@
+"""Sequential NumPy reference for greedy skeleton grouping (testing only).
+
+This is the semantic specification of our fixed-shape grouping reformulation.
+It re-derives the reference algorithm (decoder/group.py:39-246) from its
+behavior, with two deliberate, documented refinements where the original is
+order-dependent:
+
+1. When several limbs of the same type can extend the same skeleton at exactly
+   one shared joint, we attach the one with the *highest* limb score. (The
+   reference's vectorized numpy fancy-assignment lets the *last* write win,
+   which after its sort-by-score ordering is the lowest-scoring candidate --
+   an accident of implementation, decoder/group.py:124-135.)
+2. Skeleton merging resolves each mergee row to the first (lowest-index)
+   matching target row; chains settle over subsequent limb iterations.
+
+Everything else -- validity gating, one-use-per-end-keypoint dedup, the
+match/replace criteria, redundant-limb max-updates, merge-on-two-shared-joints,
+new-skeleton creation and the final delete/sort -- follows the reference
+exactly.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+COL_X, COL_Y, COL_V, COL_S, COL_LSC, COL_IND = range(6)
+
+
+def delete_reconns(conns: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """One end-keypoint may be claimed by only one limb of a given type: keep,
+    per distinct end index, the valid connection with the highest limb score
+    (ties -> lowest candidate index). Returns the keep mask.
+    (reference: decoder/group.py:221-240)"""
+    k = conns.shape[0]
+    keep = valid.copy()
+    score = conns[:, 10]
+    ind_t = conns[:, 7].astype(np.int64)
+    for a in range(k):
+        if not keep[a]:
+            continue
+        for b in range(k):
+            if b == a or not valid[b] or ind_t[b] != ind_t[a]:
+                continue
+            if score[b] > score[a] or (score[b] == score[a] and b < a):
+                keep[a] = False
+                break
+    return keep
+
+
+def group_skeletons_ref(limbs: np.ndarray, skeleton, *, person_thre=0.06,
+                        sort_dim=2, dist_max=20.0, use_scale=True,
+                        n_keypoints=17, max_poses=64):
+    """Group one image's candidate limbs (L, K, 13) into skeletons.
+
+    Returns (poses (M, n_keypoints, 6), scores (M,)) sorted descending.
+    """
+    subset = -np.ones((0, n_keypoints, 6), dtype=np.float64)
+
+    for l, (jf, jt) in enumerate(skeleton):
+        conns = limbs[l].astype(np.float64)
+        if use_scale:
+            dist_valid = conns[:, 8] < np.maximum(dist_max, conns[:, 12])
+        else:
+            dist_valid = conns[:, 8] < dist_max
+        valid = (dist_valid & (conns[:, 0] > 0) & (conns[:, 1] > 0)
+                 & (conns[:, 3] > 0) & (conns[:, 4] > 0))
+        keep = delete_reconns(conns, valid)
+        kept = np.flatnonzero(keep)
+        if kept.size == 0:
+            continue
+
+        mm = len(subset)
+        jid = subset[:, [jf, jt], COL_IND].astype(np.int64) if mm else \
+            np.zeros((0, 2), np.int64)
+        sub_scores = subset[:, [jf, jt], COL_LSC] if mm else np.zeros((0, 2))
+
+        ind1 = conns[:, 6].astype(np.int64)
+        ind2 = conns[:, 7].astype(np.int64)
+        mask_sum = np.zeros((mm, conns.shape[0]), dtype=np.int64)
+        for m in range(mm):
+            for k in kept:
+                mask_sum[m, k] = int(jid[m, 0] == ind1[k]) + int(jid[m, 1] == ind2[k])
+        replace = np.zeros_like(mask_sum, dtype=bool)
+        for m in range(mm):
+            for k in kept:
+                replace[m, k] = (conns[k, 10] > sub_scores[m, 1]
+                                 or conns[k, 10] > sub_scores[m, 0])
+
+        # redundant limb inside an existing skeleton: refresh limb scores
+        for m in range(mm):
+            for k in kept:
+                if mask_sum[m, k] == 2 and replace[m, k]:
+                    subset[m, jf, COL_LSC] = max(subset[m, jf, COL_LSC], conns[k, 10])
+                    subset[m, jt, COL_LSC] = max(subset[m, jt, COL_LSC], conns[k, 10])
+
+        # extend skeletons sharing exactly one joint: best-scoring candidate
+        for m in range(mm):
+            cands = [k for k in kept if mask_sum[m, k] == 1 and replace[m, k]]
+            if not cands:
+                continue
+            k = max(cands, key=lambda kk: conns[kk, 10])
+            subset[m, jf, COL_IND] = ind1[k]
+            subset[m, jt, COL_IND] = ind2[k]
+            subset[m, jf, :4] = conns[k, [0, 1, 2, 11]]
+            subset[m, jt, :4] = conns[k, [3, 4, 5, 12]]
+            subset[m, jf, COL_LSC] = max(subset[m, jf, COL_LSC], conns[k, 10])
+            subset[m, jt, COL_LSC] = max(subset[m, jt, COL_LSC], conns[k, 10])
+
+        # merge pairs of skeletons that now share exactly two keypoint inds
+        if len(subset) >= 2:
+            inds = subset[:, :, COL_IND].astype(np.int64)
+            n_rows = len(subset)
+            cnt = np.zeros((n_rows, n_rows), dtype=np.int64)
+            for a in range(n_rows):
+                for b in range(a + 1, n_rows):
+                    cnt[a, b] = int(np.sum((inds[a] == inds[b]) & (inds[a] != -1)))
+            dead = []
+            for b in range(n_rows):
+                for a in range(b):
+                    if cnt[a, b] == 2 and a not in dead and b not in dead:
+                        subset[a] = np.maximum(subset[a], subset[b])
+                        dead.append(b)
+                        break
+            if dead:
+                subset = np.delete(subset, dead, axis=0)
+
+        # conns touching no existing skeleton spawn new rows
+        new_ks = [k for k in kept
+                  if (mask_sum[:, k] == 0).all()] if mm else list(kept)
+        for k in new_ks:
+            row = -np.ones((1, n_keypoints, 6))
+            row[0, jf, COL_IND] = ind1[k]
+            row[0, jt, COL_IND] = ind2[k]
+            row[0, jf, :4] = conns[k, [0, 1, 2, 11]]
+            row[0, jt, :4] = conns[k, [3, 4, 5, 12]]
+            row[0, jf, COL_LSC] = conns[k, 10]
+            row[0, jt, COL_LSC] = conns[k, 10]
+            subset = np.concatenate([subset, row], axis=0)
+
+    return delete_sort_ref(subset, person_thre, sort_dim, max_poses)
+
+
+def delete_sort_ref(subset, thre, sort_dim, max_poses):
+    """Score, filter and sort skeletons (reference: decoder/group.py:187-219)."""
+    scores = []
+    keep = []
+    for i in range(len(subset)):
+        mask = subset[i, :, sort_dim] > 0
+        score = subset[i, mask, sort_dim].sum() / mask.sum() if mask.any() else 0.0
+        if score >= thre:
+            keep.append(i)
+            scores.append(score)
+    order = np.argsort(-np.asarray(scores), kind='stable') if scores else []
+    out = subset[np.asarray(keep, dtype=np.int64)][order] if len(keep) else \
+        np.zeros((0, subset.shape[1], 6))
+    out = out[:max_poses]
+    out[out == -1] = 0
+    final_scores = np.asarray(scores, dtype=np.float64)[order][:max_poses] if len(keep) \
+        else np.zeros((0,))
+    return out, final_scores
