@@ -26,7 +26,9 @@ class SkeletonConfig:
     keypoints: tuple = coco.COCO_KEYPOINTS
     sigmas: tuple = coco.COCO_PERSON_SIGMAS
     skeleton: tuple = coco.COCO_PERSON_SKELETON
-    hflip: dict = dataclasses.field(default_factory=lambda: dict(coco.HFLIP))
+    # stored as a sorted tuple of pairs so the config stays hashable (it is a
+    # static jit argument)
+    hflip: tuple = tuple(sorted(coco.HFLIP.items()))
 
     @property
     def n_keypoints(self) -> int:
@@ -37,10 +39,11 @@ class SkeletonConfig:
         return len(self.skeleton)
 
     def heatmap_flip_indices(self):
-        return coco.heatmap_hflip(self.keypoints, self.hflip)
+        return coco.heatmap_hflip(self.keypoints, dict(self.hflip))
 
     def offset_flip_indices(self):
-        return coco.offset_hflip(self.keypoints, self.skeleton, self.hflip)
+        return coco.offset_hflip(self.keypoints, self.skeleton,
+                                 dict(self.hflip))
 
     @classmethod
     def coco(cls, n_limbs: int = 19) -> 'SkeletonConfig':
@@ -52,7 +55,7 @@ class SkeletonConfig:
         return cls(keypoints=cp.CROWDPOSE_KEYPOINTS,
                    sigmas=cp.CROWDPOSE_SIGMAS,
                    skeleton=cp.CROWDPOSE_PERSON_SKELETON,
-                   hflip=dict(cp.CROWDPOSE_HFLIP))
+                   hflip=tuple(sorted(cp.CROWDPOSE_HFLIP.items())))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,110 @@
+"""Sharded training step: loss, gradients, optimizer, BN-stat update.
+
+Replaces the reference's training inner loop (train_dist.py:275-387): apex AMP
+becomes the model's bf16 compute policy (no loss scaling needed for bf16),
+apex DDP's allreduce becomes XLA collectives inserted by jit over the mesh,
+FusedAdam becomes optax.adam (fused under XLA), and the loss-explosion rescue
+(train_dist.py:322-325) becomes a gradient gate.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config.defaults import LossConfig, TrainConfig
+from ..ops.encoder import Targets
+from ..ops.losses import compute_losses
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
+    lr = lr_schedule if lr_schedule is not None else cfg.learning_rate
+    if cfg.optimizer == 'adam':
+        tx = optax.adam(lr)
+    elif cfg.optimizer == 'sgd':
+        tx = optax.sgd(lr, momentum=cfg.momentum)
+    else:
+        raise ValueError(cfg.optimizer)
+    if cfg.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(cfg.weight_decay), tx)
+    return tx
+
+
+def create_train_state(variables, tx) -> TrainState:
+    return TrainState(params=variables['params'],
+                      batch_stats=variables.get('batch_stats', {}),
+                      opt_state=tx.init(variables['params']),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx, loss_cfg: LossConfig,
+                    explosion_guard: float = 1e8):
+    """Returns a jittable train_step(state, images, targets, mask) function."""
+
+    def loss_fn(params, batch_stats, images, targets, mask):
+        out, mutated = model.apply(
+            {'params': params, 'batch_stats': batch_stats},
+            images, train=True, mutable=['batch_stats'])
+        losses = compute_losses(out, targets, mask, loss_cfg)
+        return losses['total'], (losses, mutated['batch_stats'])
+
+    def train_step(state: TrainState, images: jax.Array, targets: Targets,
+                   mask: jax.Array) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total, (losses, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, images, targets, mask)
+        # loss-explosion rescue: drop the batch (train_dist.py:322-325)
+        ok = jnp.isfinite(total) & (total < explosion_guard)
+        scale = jnp.where(ok, 1.0, 0.0)
+        grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=new_params, batch_stats=new_stats,
+                               opt_state=new_opt, step=state.step + 1)
+        metrics = dict(losses)
+        metrics['skipped'] = 1.0 - scale
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, loss_cfg: LossConfig):
+    """Validation loss step (reference test(), train_dist.py:390-455)."""
+
+    def eval_step(state: TrainState, images, targets, mask):
+        out = model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            images, train=False)
+        return compute_losses(out, targets, mask, loss_cfg)
+
+    return eval_step
+
+
+def step_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
+    """Reference hand-tuned schedule: optional warmup then step drops at
+    fixed epochs (utils/util.py:27-60)."""
+    base = cfg.learning_rate
+
+    def schedule(step):
+        epoch = step / steps_per_epoch
+        lr = jnp.full_like(jnp.asarray(step, jnp.float32), base)
+        if cfg.warmup_epochs:
+            warm = base * (jnp.asarray(step, jnp.float32) + 1) / (
+                cfg.warmup_epochs * steps_per_epoch)
+            lr = jnp.where(epoch < cfg.warmup_epochs, warm, lr)
+        factor = jnp.ones_like(lr)
+        for e in cfg.lr_drop_epochs:
+            factor = jnp.where(epoch >= e, factor * cfg.lr_drop_factor, factor)
+        return lr * factor
+
+    return schedule
