@@ -1,0 +1,92 @@
+"""End-to-end inference benchmark on one TPU chip.
+
+Measures forward (Hourglass-104 + heads, bf16) + full on-device decode
+(upsample, NMS, top-k, limb pairing, greedy grouping) at the reference's
+headline single-scale 640 configuration, no flip test
+(reference README.md:72,95: 30+ FPS on an RTX 2080 Ti).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, '/root/repo')
+
+BASELINE_FPS = 30.0  # reference 2080 Ti end-to-end FPS
+
+
+def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16'):
+    from offsetguided_tpu.config.defaults import DecoderConfig, ModelConfig
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.models import PoseNet
+
+    cfg = ModelConfig(compute_dtype=compute_dtype)
+    model = PoseNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    image = jax.random.uniform(rng, (batch, size, size, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(1),
+                           jnp.zeros((1, 128, 128, 3), jnp.float32),
+                           train=False)
+    pp = PostProcessor(cfg=DecoderConfig(
+        topk=32, thre_hmp=0.04, dist_max=40.0,
+        upsampled_decode=upsampled_decode))
+
+    @jax.jit
+    def infer(vars_, img):
+        preds = model.apply(vars_, img, train=False)
+        return pp._decode_body(preds, flip_test=False)
+
+    return infer, variables, image
+
+
+def timed_fps(infer, variables, image, n1=4, n2=12):
+    """Robust timing on tunneled devices where block_until_ready may not
+    synchronize: drain the execution queue with a tiny scalar fetch and
+    difference two run lengths to cancel the fixed fetch latency."""
+    def run_n(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = infer(variables, image)
+        if out is not None:
+            float(jnp.asarray(out[2]).sum())   # counts: a few bytes
+        else:
+            float(jnp.zeros(()).sum())
+        return time.perf_counter() - t0
+
+    run_n(2)  # warm-up (compile + cache)
+    t1 = run_n(n1)
+    t2 = run_n(n2)
+    dt = (t2 - t1) / (n2 - n1)
+    return image.shape[0] / max(dt, 1e-9)
+
+
+def main():
+    size = 640
+    fps = None
+    for batch in (8, 4, 2, 1):
+        try:
+            infer, variables, image = build(batch, size)
+            fps = timed_fps(infer, variables, image)
+            break
+        except Exception as e:  # OOM fallback to smaller batch
+            sys.stderr.write(f'batch {batch} failed: {type(e).__name__}: {e}\n')
+            continue
+    if fps is None:
+        print(json.dumps({"metric": "e2e_fps_640_1chip", "value": 0.0,
+                          "unit": "img/s", "vs_baseline": 0.0}))
+        return
+    print(json.dumps({
+        "metric": "e2e_fps_640_1chip",
+        "value": round(fps, 2),
+        "unit": "img/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

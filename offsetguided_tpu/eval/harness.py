@@ -1,0 +1,144 @@
+"""COCO evaluation harness: preprocess -> jitted forward+decode -> inverse ->
+OKS AP.
+
+Reference counterpart: evaluate.py:125-328. Differences by design:
+- fixed shapes: long-edge mode produces exactly (long_edge, long_edge) inputs
+  (rescale + center pad), so one jit compilation serves the whole epoch;
+  fixed-height mode pads width to the max_stride multiple, bucketing widths.
+- flip-test doubles the batch inside the jitted function (no host concat);
+- decode runs fully on device; only final (max_poses, J, 6) pose tensors come
+  back to host for the inverse transform and COCO json records.
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import Dict, List, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.defaults import EvalConfig, SkeletonConfig
+from ..data import transforms as T
+from ..data.coco import CocoJson
+from ..decoder import PostProcessor
+
+
+def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
+                    n_keypoints: int = 17):
+    """Rescale+pad for evaluation; returns (float_image, anns, meta)."""
+    h, w = image.shape[:2]
+    meta = T.make_meta(w, h, n_keypoints)
+    if cfg.fixed_height:
+        image, anns, meta = T.rescale_high_absolute(image, anns, meta,
+                                                    cfg.long_edge)
+        image, anns, meta = T.rightdown_pad(image, anns, meta, cfg.max_stride)
+    else:
+        image, anns, meta = T.rescale_long_absolute(image, anns, meta,
+                                                    cfg.long_edge)
+        image, anns, meta = T.center_pad(image, anns, meta, cfg.long_edge)
+    return T.normalize_image(image), anns, meta
+
+
+def make_infer_fn(model, variables, pp: PostProcessor, flip_test: bool):
+    """One jitted program: forward (+flipped half) -> decode -> poses."""
+
+    @jax.jit
+    def infer(images):
+        if flip_test:
+            images = jnp.concatenate([images, jnp.flip(images, axis=2)],
+                                     axis=0)
+        preds = model.apply(variables, images, train=False)
+        return pp._decode_body(preds, flip_test=flip_test)
+
+    return infer
+
+
+def poses_to_coco_results(poses: np.ndarray, image_id: int) -> List[Dict]:
+    """(M, J, 6) decoded poses -> COCO keypoint result dicts
+    (reference evaluate.py:236-265, including the dummy record when empty)."""
+    results = []
+    poses = poses.copy()
+    poses[:, :, :2] = np.around(poses[:, :, :2], 2)
+    for person in poses:
+        if not np.any(person[:, :3]):
+            continue
+        v = person[:, 2]
+        kps = []
+        for x, y, vv in person[:, :3]:
+            kps += [float(x), float(y), 1 if (x > 0 or y > 0) else 0]
+        results.append({
+            'image_id': image_id,
+            'category_id': 1,
+            'keypoints': kps,
+            'score': float(v.sum() / len(v)),
+        })
+    if not results:
+        results.append({'image_id': image_id, 'category_id': 1,
+                        'keypoints': np.zeros(poses.shape[1] * 3).tolist(),
+                        'score': 0.01})
+    return results
+
+
+def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
+               image_dir: str, cfg: EvalConfig,
+               n_images: Optional[int] = None,
+               skeleton: Optional[SkeletonConfig] = None,
+               progress: bool = False):
+    """Evaluate the model over a COCO image set; returns result dicts."""
+    skeleton = skeleton or SkeletonConfig()
+    ids = coco.image_ids(with_persons=True)
+    if n_images:
+        ids = ids[:n_images]
+    batch_size = 1 if cfg.fixed_height else cfg.batch_size
+    infer = make_infer_fn(model, variables, pp, cfg.flip_test)
+
+    results: List[Dict] = []
+    batch_imgs, batch_metas, batch_ids = [], [], []
+
+    def flush():
+        if not batch_imgs:
+            return
+        n = len(batch_imgs)
+        while len(batch_imgs) < batch_size:   # pad partial batch
+            batch_imgs.append(np.zeros_like(batch_imgs[0]))
+        images = jnp.asarray(np.stack(batch_imgs))
+        poses, scores, counts = infer(images)
+        poses = np.asarray(poses)
+        for i in range(n):
+            inv = T.annotations_inverse(poses[i], batch_metas[i])
+            results.extend(poses_to_coco_results(inv, batch_ids[i]))
+        batch_imgs.clear(); batch_metas.clear(); batch_ids.clear()
+
+    for idx, img_id in enumerate(ids):
+        info = coco.image_info(img_id)
+        path = os.path.join(image_dir, info['file_name'])
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        fimg, _, meta = preprocess_eval(
+            img, np.zeros((0, skeleton.n_keypoints, 4), np.float32), cfg,
+            skeleton.n_keypoints)
+        batch_imgs.append(fimg)
+        batch_metas.append(meta)
+        batch_ids.append(img_id)
+        if len(batch_imgs) == batch_size:
+            flush()
+        if progress and idx % 100 == 0:
+            print(f'eval {idx}/{len(ids)}')
+    flush()
+    return results
+
+
+def validation(model, variables, pp, ann_file: str, image_dir: str,
+               cfg: EvalConfig, n_images=None, skeleton=None) -> Dict[str, float]:
+    """Full COCO validation -> metrics (reference evaluate.py:303-328)."""
+    from .cocoeval import evaluate_coco_keypoints
+    skeleton = skeleton or SkeletonConfig()
+    coco = CocoJson(ann_file)
+    results = run_images(model, variables, pp, coco, image_dir, cfg,
+                         n_images=n_images, skeleton=skeleton)
+    return evaluate_coco_keypoints(coco, results, skeleton.sigmas)
