@@ -41,10 +41,17 @@ def rle_decode_counts(s: str) -> List[int]:
 
 
 def rle_to_mask(rle: Dict) -> np.ndarray:
-    """COCO RLE dict {'size': [h, w], 'counts': str|list} -> uint8 mask."""
+    """COCO RLE dict {'size': [h, w], 'counts': str|list} -> uint8 mask.
+
+    Uses the native C++ codec (native/rle.cpp) when available; falls back to
+    the pure-Python path."""
     h, w = rle['size']
     counts = rle['counts']
     if isinstance(counts, str):
+        from . import native
+        m = native.rle_string_to_mask(counts, h, w)
+        if m is not None:
+            return m
         counts = rle_decode_counts(counts)
     flat = np.zeros(h * w, dtype=np.uint8)
     pos = 0

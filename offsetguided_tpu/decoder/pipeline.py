@@ -123,15 +123,12 @@ class PostProcessor:
             jomp = None
 
         if cfg.upsampled_decode:
-            hmp = upsample2d(hmp, s, cfg.resize_mode)
-            omp = upsample2d(omp, s, 'bilinear')
-            if jomp is not None:
-                jomp = upsample2d(jomp, s, 'bilinear')
-            if scmp is not None:
-                scmp = upsample2d(scmp, s, cfg.resize_mode)
-            limbs = dec_ops.collect_limbs(hmp, omp, np.asarray(self._jf),
-                                          np.asarray(self._jt), cfg,
-                                          jomps=jomp, scmps=scmp)
+            # only heatmaps are physically upsampled (peak finding needs the
+            # bicubic surface); aux maps are interpolated at the K peaks only
+            hmp_up = upsample2d(hmp, s, cfg.resize_mode)
+            limbs = dec_ops.collect_limbs_peak_sampled(
+                hmp_up, omp, np.asarray(self._jf), np.asarray(self._jt), cfg,
+                jomps4=jomp, scmps4=scmp, stride=s)
             packed = dec_ops.pack_limbs(limbs)
         else:
             # decode at stride resolution; map cell indices to input pixels

@@ -81,6 +81,114 @@ def joint_dets(hmps: jax.Array, k: int, nms_kernel: int = 3):
     return topk_channel(hmp_nms(hmps, nms_kernel), k)
 
 
+def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2):
+    """Exact top-k over NMS output via a block-max pre-reduction.
+
+    After 3x3 peak NMS no two surviving peaks can occupy the same 2x2 block
+    (they would be adjacent and one would have suppressed the other, except
+    for exact-value ties), so reducing each block to its max before
+    `lax.top_k` is value-exact while cutting the sort size by block^2 --
+    the full-resolution top-k dominates decode cost otherwise.
+
+    Returns the same (scores, flat_inds, ys, xs) as `topk_channel`.
+    """
+    n, h, w, c = scores.shape
+    hb, wb = h // block, w // block
+    s = scores.transpose(0, 3, 1, 2)                    # (N, C, H, W)
+    blocks = s.reshape(n, c, hb, block, wb, block)
+    bvals = blocks.max(axis=(3, 5))                     # (N, C, hb, wb)
+    # within-block argmax (row-major first-wins, matching jnp.argmax)
+    bflat = blocks.transpose(0, 1, 2, 4, 3, 5).reshape(n, c, hb, wb,
+                                                       block * block)
+    barg = jnp.argmax(bflat, axis=-1).astype(jnp.int32)  # (N, C, hb, wb)
+
+    topv, topb = jax.lax.top_k(bvals.reshape(n, c, hb * wb), k)
+    topb = topb.astype(jnp.int32)
+    by, bx = topb // wb, topb % wb
+    local = jnp.take_along_axis(barg.reshape(n, c, hb * wb), topb, axis=-1)
+    ys = by * block + local // block
+    xs = bx * block + local % block
+    return topv, ys * w + xs, ys, xs
+
+
+def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
+                     stride: int, method: str = 'bilinear') -> jax.Array:
+    """Sample per-limb channel pairs/singles of a stride-`stride` map at
+    full-resolution integer pixel positions, reproducing
+    `upsample2d(maps, stride, method)` gathered at those pixels -- without
+    materializing the upsampled map.
+
+    Args:
+        maps: (N, h, w, C) stride-resolution map.
+        channels: None (use all C channels) or (L,) channel index per limb --
+            output then has maps' trailing group selected per limb.
+        xs, ys: (N, L, K) int32 full-resolution pixel coordinates (may be
+            out of range; clamped like the torch resize border handling).
+        method: 'bilinear' (2 taps/axis) or 'bicubic' (4 taps, A=-0.75).
+    Returns:
+        (N, L, K, C_sel) sampled values, C_sel = C if channels is None else
+        the per-limb selected channel (C_sel=1) -- for vector maps pass a
+        reshaped (N, h, w, L, V) and channels=None-per-limb handled by caller.
+    """
+    n, h, w = maps.shape[:3]
+    L, k = xs.shape[1], xs.shape[2]
+    # source cell coordinates (half-pixel alignment)
+    cx = (xs.astype(jnp.float32) + 0.5) / stride - 0.5
+    cy = (ys.astype(jnp.float32) + 0.5) / stride - 0.5
+
+    if method == 'bilinear':
+        rel = np.arange(0, 2)
+    elif method == 'bicubic':
+        rel = np.arange(-1, 3)
+    else:
+        raise ValueError(method)
+
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+
+    def weights(f):
+        if method == 'bilinear':
+            return jnp.stack([1.0 - f, f], axis=-1)        # (..., 2)
+        from .resize import _cubic_kernel
+        d = rel[None, :] - f[..., None]                    # (..., 4)
+        a = -0.75
+        ad = jnp.abs(d)
+        wv = jnp.where(
+            ad <= 1.0, (a + 2) * ad ** 3 - (a + 3) * ad ** 2 + 1.0,
+            jnp.where(ad < 2.0,
+                      a * ad ** 3 - 5 * a * ad ** 2 + 8 * a * ad - 4 * a, 0.0))
+        return wv
+
+    wx = weights(fx)                                       # (N, L, K, T)
+    wy = weights(fy)
+
+    if channels is not None:
+        ch = jnp.asarray(channels, dtype=jnp.int32)
+        sel = jnp.take(maps, ch, axis=-1)                  # (N, h, w, L)
+        flat = sel.transpose(0, 3, 1, 2).reshape(n, L, h * w, 1)
+        C_sel = 1
+    else:
+        C = maps.shape[-1]
+        flat = jnp.broadcast_to(maps.reshape(n, 1, h * w, C), (n, L, h * w, C))
+        C_sel = C
+
+    acc = None
+    for ti, ry in enumerate(rel):
+        yi = jnp.clip(y0.astype(jnp.int32) + int(ry), 0, h - 1)
+        for tj, rx in enumerate(rel):
+            xi = jnp.clip(x0.astype(jnp.int32) + int(rx), 0, w - 1)
+            idx = (yi * w + xi)[..., None]                 # (N, L, K, 1)
+            v = jnp.take_along_axis(
+                flat, jnp.broadcast_to(idx, idx.shape[:-1] + (C_sel,)),
+                axis=2)
+            wv = (wy[..., ti] * wx[..., tj])[..., None]
+            term = v * wv
+            acc = term if acc is None else acc + term
+    return acc
+
+
 def scored_offset(hmp: jax.Array, off: jax.Array, jtypes_f: np.ndarray,
                   kernel_size: int = 3) -> jax.Array:
     """Heatmap-score-weighted local average of guiding offsets.
@@ -214,6 +322,105 @@ def collect_limbs(
 
     # jitter refinement of final coordinates (decoder/collect.py:216-218)
     if cfg.use_jitter_offset and jomps is not None:
+        xys_f = xys_f + jitter_f
+        matched_xys_t = matched_xys_t + matched_jitter_t
+
+    return Limbs(
+        xy_f=xys_f, score_f=scores_f,
+        xy_t=matched_xys_t, score_t=matched_score_t,
+        ind_f=gind_f, ind_t=gind_t,
+        min_dist=min_dist, len_limb=len_limb, limb_score=limb_score,
+        scale_f=scales_f, scale_t=matched_scale_t)
+
+
+def collect_limbs_peak_sampled(
+    hmp_up: jax.Array,
+    offs4: jax.Array,
+    jtypes_f: np.ndarray,
+    jtypes_t: np.ndarray,
+    cfg: DecoderConfig,
+    jomps4: Optional[jax.Array] = None,
+    scmps4: Optional[jax.Array] = None,
+    stride: int = 4,
+) -> Limbs:
+    """Reference-parity limb collection without materializing upsampled
+    offset/jitter/scale maps.
+
+    Peaks come from the bicubic-upsampled heatmaps (`hmp_up`, full input
+    resolution) via NMS + block-reduced exact top-k; the auxiliary maps stay
+    at stride resolution and are interpolated only at the K selected peaks,
+    reproducing `upsample2d(map) gathered at peak` bit-for-bit (bilinear for
+    offsets/jitter per decoder/factory.py:77-88, `cfg.resize_mode` for
+    scales).
+    """
+    n, h, w, c = hmp_up.shape
+    L = len(jtypes_f)
+    k = cfg.topk
+    jf = jnp.asarray(jtypes_f, dtype=jnp.int32)
+    jt = jnp.asarray(jtypes_t, dtype=jnp.int32)
+
+    scores, inds, ys, xs = topk_channel_blockreduce(
+        hmp_nms(hmp_up, cfg.nms_kernel), k)
+
+    def channel_dets(jtypes):
+        s = jnp.take(scores, jtypes, axis=1)
+        i = jnp.take(inds, jtypes, axis=1)
+        x = jnp.take(xs, jtypes, axis=1)
+        y = jnp.take(ys, jtypes, axis=1)
+        xy = jnp.stack([x, y], axis=-1).astype(jnp.float32)
+        xy = jnp.where(s[..., None] < cfg.thre_hmp, xy - 100000.0, xy)
+        return i, s, x, y, xy
+
+    inds_f, scores_f, xs_f, ys_f, xys_f = channel_dets(jf)
+    inds_t, scores_t, xs_t, ys_t, xys_t = channel_dets(jt)
+
+    # guiding offsets at from-peaks: per-limb channel pair of offs4
+    ch_x = 2 * np.arange(L, dtype=np.int32)
+    off_fx = sample_limb_maps(offs4, ch_x, xs_f, ys_f, stride, 'bilinear')
+    off_fy = sample_limb_maps(offs4, ch_x + 1, xs_f, ys_f, stride, 'bilinear')
+    off_f = jnp.concatenate([off_fx, off_fy], axis=-1)        # (N, L, K, 2)
+
+    if scmps4 is not None:
+        scales_f = sample_limb_maps(scmps4, jtypes_f, xs_f, ys_f, stride,
+                                    cfg.resize_mode)[..., 0]
+        scales_t = sample_limb_maps(scmps4, jtypes_t, xs_t, ys_t, stride,
+                                    cfg.resize_mode)[..., 0]
+    else:
+        scales_f = jnp.full_like(scores_f, cfg.default_scale)
+        scales_t = jnp.full_like(scores_t, cfg.default_scale)
+
+    if jomps4 is not None:
+        jitter_f = sample_limb_maps(jomps4, None, xs_f, ys_f, stride,
+                                    'bilinear')
+        jitter_t = sample_limb_maps(jomps4, None, xs_t, ys_t, stride,
+                                    'bilinear')
+    else:
+        jitter_f = jnp.zeros((n, L, k, 2), dtype=xys_f.dtype)
+        jitter_t = jnp.zeros((n, L, k, 2), dtype=xys_t.dtype)
+
+    guid_t = xys_f + off_f
+    dist = jnp.linalg.norm(guid_t[:, :, :, None, :] - xys_t[:, :, None, :, :],
+                           axis=-1)
+    min_dist = jnp.min(dist, axis=-1)
+    min_ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+
+    take = lambda v: jnp.take_along_axis(v, min_ind, axis=-1)
+    matched_score_t = take(scores_t)
+    matched_ind_t = take(inds_t)
+    matched_scale_t = take(scales_t)
+    matched_xys_t = jnp.take_along_axis(xys_t, min_ind[..., None], axis=2)
+    matched_jitter_t = jnp.take_along_axis(jitter_t, min_ind[..., None],
+                                           axis=2)
+
+    page = jnp.int32(h * w)
+    gind_f = inds_f + jf[None, :, None] * page
+    gind_t = matched_ind_t + jt[None, :, None] * page
+
+    len_limb = jnp.maximum(
+        jnp.linalg.norm(xys_f - matched_xys_t, axis=-1), cfg.min_len)
+    limb_score = scores_f * matched_score_t * jnp.exp(-min_dist / len_limb)
+
+    if cfg.use_jitter_offset and jomps4 is not None:
         xys_f = xys_f + jitter_f
         matched_xys_t = matched_xys_t + matched_jitter_t
 

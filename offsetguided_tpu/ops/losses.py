@@ -53,7 +53,12 @@ def _margin_normalized_sum(elems, valid, margin, sqrt_re):
     """Keep elements >= margin, optional sqrt, sum/(1+count)
     (reference losses.py:183-189, 237-242)."""
     keep = valid & (elems >= margin)
-    vals = jnp.sqrt(jnp.maximum(elems, 0.0)) if sqrt_re else elems
+    if sqrt_re:
+        # sqrt only where kept: d/dx sqrt(x) at x->0 is inf, and masked-out
+        # zeros would still poison gradients through where() otherwise
+        vals = jnp.sqrt(jnp.where(keep, elems, 1.0))
+    else:
+        vals = elems
     total = jnp.sum(jnp.where(keep, vals, 0.0))
     count = jnp.sum(keep)
     return total / (1.0 + count.astype(total.dtype))

@@ -148,3 +148,19 @@ def test_warp_affine_flip_swaps_channels(rng):
                                63 - orig[0, RIGHT_INDEX, 0], atol=1e-3)
     rec = T.affine_keypoint_inverse(anns2, meta2)
     np.testing.assert_allclose(rec[0, :, 0], orig[0, :, 0], atol=1e-3)
+
+
+def test_native_rle_matches_python(rng):
+    from offsetguided_tpu.data import native
+    if not native.available():
+        import pytest
+        pytest.skip('no native toolchain')
+    mask = (rng.rand(31, 19) > 0.55).astype(np.uint8)
+    runs = native.rle_encode_mask(mask)
+    s = rle_encode_counts(list(int(r) for r in runs))
+    np.testing.assert_array_equal(
+        rle_to_mask({'size': [31, 19], 'counts': s}), mask)
+    # python fallback agrees
+    np.testing.assert_array_equal(
+        rle_to_mask({'size': [31, 19],
+                     'counts': rle_decode_counts(s)}), mask)

@@ -1,0 +1,63 @@
+"""Peak-sampled collection must reproduce the explicit-upsample path."""
+import numpy as np
+import jax.numpy as jnp
+
+from offsetguided_tpu.config import COCO_PERSON_SKELETON, skeleton_from_arrays
+from offsetguided_tpu.config.defaults import DecoderConfig
+from offsetguided_tpu.ops import decoder as dec
+from offsetguided_tpu.ops.resize import upsample2d
+
+
+def test_blockreduce_topk_matches_plain(rng):
+    x = rng.rand(2, 16, 20, 5).astype(np.float32)
+    nmsed = dec.hmp_nms(jnp.asarray(x))
+    s1, i1, y1, x1 = dec.topk_channel(nmsed, 6)
+    s2, i2, y2, x2 = dec.topk_channel_blockreduce(nmsed, 6)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_sample_limb_maps_matches_upsample_gather(rng):
+    n, h, w, L = 2, 8, 9, 19
+    stride = 4
+    maps = rng.randn(n, h, w, 2 * L).astype(np.float32)
+    xs = rng.randint(0, w * stride, (n, L, 5)).astype(np.int32)
+    ys = rng.randint(0, h * stride, (n, L, 5)).astype(np.int32)
+    for method in ('bilinear', 'bicubic'):
+        up = np.asarray(upsample2d(jnp.asarray(maps), stride, method))
+        ch = 2 * np.arange(L, dtype=np.int32)
+        got = np.asarray(dec.sample_limb_maps(
+            jnp.asarray(maps), ch, jnp.asarray(xs), jnp.asarray(ys), stride,
+            method))[..., 0]
+        want = np.zeros_like(got)
+        for b in range(n):
+            for l in range(L):
+                for k in range(5):
+                    want[b, l, k] = up[b, ys[b, l, k], xs[b, l, k], 2 * l]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_peak_sampled_matches_full_upsample(rng):
+    n, h, w, c = 2, 12, 10, 17
+    stride = 4
+    jf, jt = skeleton_from_arrays(COCO_PERSON_SKELETON)
+    L = len(jf)
+    cfg = DecoderConfig(topk=8, thre_hmp=0.08)
+    hmp = rng.rand(n, h, w, c).astype(np.float32)
+    offs = (rng.randn(n, h, w, 2 * L) * 3).astype(np.float32)
+    jomps = (rng.randn(n, h, w, 2) * 0.5).astype(np.float32)
+    scmps = (rng.rand(n, h, w, c) * 8).astype(np.float32)
+
+    hmp_up = upsample2d(jnp.asarray(hmp), stride, 'bicubic')
+    # explicit full upsample path
+    full = dec.collect_limbs(
+        hmp_up, upsample2d(jnp.asarray(offs), stride, 'bilinear'), jf, jt,
+        cfg, jomps=upsample2d(jnp.asarray(jomps), stride, 'bilinear'),
+        scmps=upsample2d(jnp.asarray(scmps), stride, 'bicubic'))
+    # peak-sampled path
+    fast = dec.collect_limbs_peak_sampled(
+        hmp_up, jnp.asarray(offs), jf, jt, cfg, jomps4=jnp.asarray(jomps),
+        scmps4=jnp.asarray(scmps), stride=stride)
+    a = np.asarray(dec.pack_limbs(full))
+    b = np.asarray(dec.pack_limbs(fast))
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Image demo: run pose estimation on image files and visualize
+(reference demo_batch.py equivalent)."""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('images', nargs='+', help='image paths')
+    p.add_argument('--checkpoint', default=None)
+    p.add_argument('--torch-checkpoint', default=None)
+    p.add_argument('--long-edge', type=int, default=640)
+    p.add_argument('--flip-test', action='store_true')
+    p.add_argument('--output-dir', default='demo_out')
+    p.add_argument('--show-heatmaps', action='store_true')
+    p.add_argument('--show-limb-offsets', type=int, default=None,
+                   help='limb index to quiver-plot')
+    return p.parse_args()
+
+
+def main():
+    args = cli()
+    from offsetguided_tpu.config.defaults import (DecoderConfig, EvalConfig,
+                                                  ModelConfig, SkeletonConfig)
+    from offsetguided_tpu.data import transforms as T
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval.harness import preprocess_eval
+    from offsetguided_tpu.models import PoseNet, checkpoint as ckpt
+    from offsetguided_tpu.visualization import (KeypointPainter,
+                                                draw_limb_offset,
+                                                heatmap_overlay, image_canvas)
+
+    skeleton = SkeletonConfig()
+    model_cfg = ModelConfig()
+    model = PoseNet(model_cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    if args.torch_checkpoint:
+        variables, _ = ckpt.load_torch_checkpoint(args.torch_checkpoint,
+                                                  variables, model_cfg)
+    elif args.checkpoint:
+        from offsetguided_tpu.parallel import create_train_state, make_optimizer
+        from offsetguided_tpu.config.defaults import TrainConfig
+        state = create_train_state(variables, make_optimizer(TrainConfig()))
+        state, _, _ = ckpt.load_checkpoint(args.checkpoint, state,
+                                           drop_optimizer=True)
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig())
+    eval_cfg = EvalConfig(long_edge=args.long_edge, flip_test=args.flip_test,
+                          batch_size=1)
+    os.makedirs(args.output_dir, exist_ok=True)
+    painter = KeypointPainter(skeleton_cfg=skeleton)
+
+    @jax.jit
+    def infer(images):
+        if args.flip_test:
+            images = jnp.concatenate([images, jnp.flip(images, axis=2)], 0)
+        preds = model.apply(variables, images, train=False)
+        return preds, pp._decode_body(preds, flip_test=args.flip_test)
+
+    for path in args.images:
+        raw = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
+        img, _, meta = preprocess_eval(
+            raw, np.zeros((0, 17, 4), np.float32), eval_cfg)
+        preds, (poses, scores, counts) = infer(jnp.asarray(img[None]))
+        n = int(counts[0])
+        inv = T.annotations_inverse(np.asarray(poses[0]), meta)[:n]
+        base = os.path.join(args.output_dir,
+                            os.path.splitext(os.path.basename(path))[0])
+        with image_canvas(raw, base + '.poses.png') as ax:
+            painter.keypoints(ax, inv, scores=np.asarray(scores[0]))
+        print(f'{path}: {n} poses -> {base}.poses.png')
+        if args.show_heatmaps:
+            with image_canvas(img * 0.5 + 0.5, base + '.hmp.png') as ax:
+                heatmap_overlay(ax, img * 0.2 + 0.5,
+                                np.asarray(preds['hmp'][-1][0]))
+        if args.show_limb_offsets is not None:
+            with image_canvas(img * 0.5 + 0.5, base + '.omp.png') as ax:
+                draw_limb_offset(ax, np.asarray(preds['omp'][-1][0]),
+                                 args.show_limb_offsets)
+
+
+if __name__ == '__main__':
+    main()

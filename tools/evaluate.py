@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""COCO keypoint evaluation entry point (reference evaluate.py equivalent).
+
+Loads an orbax (or converted PyTorch) checkpoint, runs single-scale or
+flip-test inference with the fully on-device decoder, and reports OKS AP.
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument('--image-dir', required=True)
+    p.add_argument('--annotation-file', required=True)
+    p.add_argument('--checkpoint', default=None,
+                   help='orbax checkpoint path')
+    p.add_argument('--torch-checkpoint', default=None,
+                   help='reference .pth checkpoint to convert and evaluate')
+    p.add_argument('--long-edge', type=int, default=640)
+    p.add_argument('--fixed-height', action='store_true')
+    p.add_argument('--flip-test', action='store_true')
+    p.add_argument('--batch-size', type=int, default=8)
+    p.add_argument('--n-images', type=int, default=None)
+    p.add_argument('--topk', type=int, default=32)
+    p.add_argument('--thre-hmp', type=float, default=0.04)
+    p.add_argument('--dist-max', type=float, default=40.0)
+    p.add_argument('--person-thre', type=float, default=0.06)
+    p.add_argument('--lowres-decode', action='store_true',
+                   help='decode at stride resolution (fast path)')
+    p.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
+    p.add_argument('--results-json', default=None)
+    return p.parse_args()
+
+
+def main():
+    args = cli()
+    from offsetguided_tpu.config.defaults import (DecoderConfig, EvalConfig,
+                                                  ModelConfig, SkeletonConfig)
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval import validation, run_images
+    from offsetguided_tpu.eval.cocoeval import evaluate_coco_keypoints
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.models import PoseNet, checkpoint as ckpt
+
+    skeleton = (SkeletonConfig.crowdpose() if args.dataset == 'crowdpose'
+                else SkeletonConfig())
+    from offsetguided_tpu.config.defaults import HeadsConfig
+    model_cfg = ModelConfig(heads=HeadsConfig(
+        n_keypoints=skeleton.n_keypoints, n_limbs=skeleton.n_limbs))
+    model = PoseNet(model_cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 128, 128, 3)), train=False)
+    if args.torch_checkpoint:
+        variables, missing = ckpt.load_torch_checkpoint(
+            args.torch_checkpoint, variables, model_cfg)
+        if missing:
+            print(f'[convert] {len(missing)} unmatched entries', missing[:5])
+    elif args.checkpoint:
+        from offsetguided_tpu.parallel import (create_train_state,
+                                               make_optimizer)
+        from offsetguided_tpu.config.defaults import TrainConfig
+        state = create_train_state(variables, make_optimizer(TrainConfig()))
+        state, _, _ = ckpt.load_checkpoint(args.checkpoint, state,
+                                           drop_optimizer=True)
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+
+    pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig(
+        topk=args.topk, thre_hmp=args.thre_hmp, dist_max=args.dist_max,
+        person_thre=args.person_thre,
+        upsampled_decode=not args.lowres_decode))
+    eval_cfg = EvalConfig(long_edge=args.long_edge,
+                          fixed_height=args.fixed_height,
+                          flip_test=args.flip_test,
+                          batch_size=args.batch_size)
+
+    coco = CocoJson(args.annotation_file)
+    results = run_images(model, variables, pp, coco, args.image_dir, eval_cfg,
+                         n_images=args.n_images, skeleton=skeleton,
+                         progress=True)
+    if args.results_json:
+        with open(args.results_json, 'w') as f:
+            json.dump(results, f)
+    stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas)
+    for k, v in stats.items():
+        print(f'{k}: {v:.4f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Data-parallel training entry point (reference train_dist.py equivalent).
+
+Single-program SPMD over a jax.sharding.Mesh: the host feeds globally-sharded
+batches, the jitted step computes bf16 forward/backward with global BatchNorm
+statistics and mean gradients (XLA inserts the collectives), optax updates,
+orbax checkpoints once per epoch. Multi-host: run one process per host with
+`jax.distributed.initialize` (--distributed).
+"""
+import argparse
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def cli():
+    p = argparse.ArgumentParser(description=__doc__)
+    g = p.add_argument_group('data')
+    g.add_argument('--train-image-dir', required=True)
+    g.add_argument('--train-annotations', required=True)
+    g.add_argument('--val-image-dir', default=None)
+    g.add_argument('--val-annotations', default=None)
+    g.add_argument('--square-length', type=int, default=512)
+    g.add_argument('--max-persons', type=int, default=32)
+    g.add_argument('--n-images', type=int, default=None)
+
+    g = p.add_argument_group('model')
+    g.add_argument('--basenet', default='hourglass104',
+                   choices=['hourglass104', 'hourglass4stage'])
+    g.add_argument('--n-stacks', type=int, default=2)
+    g.add_argument('--no-background', action='store_true')
+    g.add_argument('--no-jitter-offset', action='store_true')
+    g.add_argument('--no-scale', action='store_true')
+    g.add_argument('--n-limbs', type=int, default=19,
+                   choices=[16, 19, 25, 31, 44])
+    g.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
+
+    g = p.add_argument_group('optimization')
+    g.add_argument('--optimizer', default='adam', choices=['adam', 'sgd'])
+    g.add_argument('--lr', type=float, default=1.25e-4)
+    g.add_argument('--epochs', type=int, default=120)
+    g.add_argument('--batch-size', type=int, default=16,
+                   help='global batch size over all devices')
+    g.add_argument('--warmup-epochs', type=int, default=0)
+    g.add_argument('--sqrt-re', action='store_true', default=True)
+    g.add_argument('--fgamma', type=float, default=2.0)
+    g.add_argument('--lambdas', type=float, nargs=5,
+                   default=[1.0, 0.0, 0.0, 10000.0, 10.0])
+    g.add_argument('--freeze', default=None,
+                   help='regex of parameter paths to freeze')
+
+    g = p.add_argument_group('runtime')
+    g.add_argument('--checkpoint-dir', default='checkpoints')
+    g.add_argument('--resume', default=None)
+    g.add_argument('--drop-optim-state', action='store_true')
+    g.add_argument('--recount-epoch', action='store_true')
+    g.add_argument('--drop-layers', default=None)
+    g.add_argument('--print-freq', type=int, default=20)
+    g.add_argument('--log-file', default=None)
+    g.add_argument('--distributed', action='store_true',
+                   help='multi-host: call jax.distributed.initialize()')
+    g.add_argument('--seed', type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = cli()
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from offsetguided_tpu.config.defaults import (AugmentationConfig,
+                                                  EncoderConfig, HeadsConfig,
+                                                  LossConfig, ModelConfig,
+                                                  SkeletonConfig, TrainConfig)
+    from offsetguided_tpu.data import CocoKeypoints, batch_iterator
+    from offsetguided_tpu.models import PoseNet, checkpoint as ckpt
+    from offsetguided_tpu.ops.encoder import downscale_mask, encode_targets
+    from offsetguided_tpu.parallel import (batch_sharding, create_train_state,
+                                           make_mesh, make_optimizer,
+                                           make_train_step, replicated,
+                                           step_lr_schedule)
+    from offsetguided_tpu.utils import AverageMeter, Throughput, configure, \
+        log_record
+
+    log = configure(args.log_file)
+    logger = logging.getLogger('train')
+
+    skeleton = (SkeletonConfig.crowdpose() if args.dataset == 'crowdpose'
+                else SkeletonConfig.coco(args.n_limbs))
+    heads = HeadsConfig(
+        n_keypoints=skeleton.n_keypoints, n_limbs=skeleton.n_limbs,
+        include_background=not args.no_background,
+        include_jitter_offset=not args.no_jitter_offset,
+        include_scale=not args.no_scale)
+    model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
+                            heads=heads)
+    enc_cfg = EncoderConfig(max_persons=args.max_persons)
+    loss_cfg = LossConfig(fgamma=args.fgamma, lambdas=tuple(args.lambdas),
+                          sqrt_re=args.sqrt_re,
+                          stack_weights=(1.0,) * args.n_stacks)
+    n_dev = jax.device_count()
+    train_cfg = TrainConfig(optimizer=args.optimizer,
+                            learning_rate=args.lr * n_dev,
+                            epochs=args.epochs, batch_size=args.batch_size,
+                            warmup_epochs=args.warmup_epochs,
+                            square_length=args.square_length,
+                            checkpoint_dir=args.checkpoint_dir,
+                            seed=args.seed)
+
+    dataset = CocoKeypoints(
+        args.train_image_dir, args.train_annotations, skeleton=skeleton,
+        aug=AugmentationConfig(square_length=args.square_length),
+        square_length=args.square_length, max_persons=args.max_persons,
+        n_images=args.n_images)
+    steps_per_epoch = max(len(dataset) // args.batch_size, 1)
+    logger.info('dataset: %d images, %d steps/epoch, %d devices',
+                len(dataset), steps_per_epoch, n_dev)
+
+    mesh = make_mesh(n_dev, 1)
+    model = PoseNet(model_cfg)
+    variables = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, args.square_length, args.square_length, 3)),
+        train=False)
+    schedule = step_lr_schedule(train_cfg, steps_per_epoch)
+    tx = make_optimizer(train_cfg, schedule)
+    if args.freeze:
+        import optax
+        tx = optax.chain(optax.masked(
+            optax.set_to_zero(),
+            jax.tree_util.tree_map(lambda _: False,
+                                   ckpt.freeze_mask(variables['params'],
+                                                    args.freeze))), tx)
+    state = create_train_state(variables, tx)
+    start_epoch = 0
+    if args.resume:
+        state, start_epoch, best = ckpt.load_checkpoint(
+            args.resume, state, drop_optimizer=args.drop_optim_state,
+            drop_layers=args.drop_layers, recount_epoch=args.recount_epoch)
+        logger.info('resumed from %s at epoch %d', args.resume, start_epoch)
+
+    state = jax.device_put(state, replicated(mesh))
+    bsh = batch_sharding(mesh)
+    train_step = jax.jit(make_train_step(model, tx, loss_cfg))
+    out_hw = args.square_length // enc_cfg.stride
+    sigmas = np.asarray(skeleton.sigmas)
+
+    def device_batch(batch):
+        images = jax.device_put(batch['image'], bsh)
+        anns = jax.device_put(batch['anns'], bsh)
+        mask_in = jax.device_put(batch['mask_miss'], bsh)
+        targets = encode_targets(anns, sigmas, skeleton.skeleton,
+                                 out_hw, out_hw, enc_cfg)
+        mask = downscale_mask(mask_in, enc_cfg)
+        return images, targets, mask
+
+    meter = AverageMeter()
+    tput = Throughput()
+    step = 0
+    epoch = start_epoch
+    with mesh:
+        for batch in batch_iterator(dataset, args.batch_size,
+                                    seed=args.seed,
+                                    epochs=args.epochs - start_epoch):
+            images, targets, mask = device_batch(batch)
+            state, metrics = train_step(state, images, targets, mask)
+            step += 1
+            tput.tick(args.batch_size)
+            if step % args.print_freq == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                meter.update(m['total'])
+                log_record(logger, 'train', type='train', epoch=epoch,
+                           step=step, loss=m['total'], head_losses=m,
+                           imgs_per_sec=round(tput.rate, 2))
+            if step % steps_per_epoch == 0:
+                epoch += 1
+                if jax.process_index() == 0:
+                    path = ckpt.save_checkpoint(args.checkpoint_dir, state,
+                                                epoch, meter.avg)
+                    logger.info('epoch %d done, checkpoint %s', epoch, path)
+                meter.reset()
+
+
+if __name__ == '__main__':
+    main()
