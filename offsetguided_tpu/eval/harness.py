@@ -107,8 +107,12 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
         images = jnp.asarray(np.stack(batch_imgs))
         poses, scores, counts = infer(images)
         poses = np.asarray(poses)
+        counts = np.asarray(counts)
         for i in range(n):
-            inv = T.annotations_inverse(poses[i], batch_metas[i])
+            # drop zero-padded pose rows BEFORE the inverse transform (it
+            # would shift them into spurious nonzero detections)
+            valid = poses[i][:int(counts[i])]
+            inv = T.annotations_inverse(valid, batch_metas[i])
             results.extend(poses_to_coco_results(inv, batch_ids[i]))
         batch_imgs.clear(); batch_metas.clear(); batch_ids.clear()
 

@@ -102,13 +102,40 @@ def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2):
                                                        block * block)
     barg = jnp.argmax(bflat, axis=-1).astype(jnp.int32)  # (N, C, hb, wb)
 
-    topv, topb = jax.lax.top_k(bvals.reshape(n, c, hb * wb), k)
+    topv, topb = _topk_segmented(bvals.reshape(n, c, hb * wb), k)
     topb = topb.astype(jnp.int32)
     by, bx = topb // wb, topb % wb
     local = jnp.take_along_axis(barg.reshape(n, c, hb * wb), topb, axis=-1)
     ys = by * block + local // block
     xs = bx * block + local % block
     return topv, ys * w + xs, ys, xs
+
+
+def _topk_segmented(vals: jax.Array, k: int, target_segment: int = 2048):
+    """Exact top-k over the last axis via two-stage segmented selection.
+
+    A single `lax.top_k` over M elements is a full sort on TPU; splitting into
+    S segments, taking top-k per segment and re-selecting over the S*k
+    candidates is exact (any global top-k element is a top-k element of its
+    segment) and much cheaper for large M.
+    """
+    *lead, m = vals.shape
+    if m <= 2 * target_segment or k * 8 >= m:
+        return jax.lax.top_k(vals, k)
+    segs = max(2, m // target_segment)
+    while m % segs:
+        segs -= 1
+    seg_len = m // segs
+    if seg_len <= k:
+        return jax.lax.top_k(vals, k)
+    v = vals.reshape(*lead, segs, seg_len)
+    sv, si = jax.lax.top_k(v, k)                      # (..., segs, k)
+    base = (jnp.arange(segs, dtype=jnp.int32) * seg_len)[:, None]
+    cidx = (si.astype(jnp.int32) + base).reshape(*lead, segs * k)
+    cand = sv.reshape(*lead, segs * k)
+    fv, fi = jax.lax.top_k(cand, k)
+    inds = jnp.take_along_axis(cidx, fi, axis=-1)
+    return fv, inds
 
 
 def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,

@@ -61,3 +61,13 @@ def test_peak_sampled_matches_full_upsample(rng):
     a = np.asarray(dec.pack_limbs(full))
     b = np.asarray(dec.pack_limbs(fast))
     np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+
+def test_topk_segmented_exact(rng):
+    from offsetguided_tpu.ops.decoder import _topk_segmented
+    import jax.numpy as jnp, jax
+    x = jnp.asarray(rng.rand(3, 5, 6400).astype(np.float32))
+    v1, i1 = jax.lax.top_k(x, 16)
+    v2, i2 = _topk_segmented(x, 16)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=0)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -1,0 +1,176 @@
+"""End-to-end integration over a synthetic on-disk COCO dataset: data
+pipeline, oracle simulate path (GT encoder -> decoder -> inverse -> OKS AP),
+and the eval harness with a real (random) model.
+"""
+import json
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from offsetguided_tpu.config import COCO_PERSON_SIGMAS, COCO_PERSON_SKELETON
+from offsetguided_tpu.config.defaults import (DecoderConfig, EncoderConfig,
+                                              EvalConfig, HeadsConfig,
+                                              ModelConfig, SkeletonConfig)
+
+TEMPLATE = np.array([
+    [0.50, 0.07], [0.46, 0.05], [0.54, 0.05], [0.42, 0.07], [0.58, 0.07],
+    [0.36, 0.22], [0.64, 0.22], [0.32, 0.40], [0.68, 0.40], [0.30, 0.57],
+    [0.70, 0.57], [0.41, 0.54], [0.59, 0.54], [0.40, 0.75], [0.60, 0.75],
+    [0.39, 0.95], [0.61, 0.95]], dtype=np.float32)
+
+
+@pytest.fixture(scope='module')
+def coco_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp('synthcoco')
+    img_dir = root / 'images'
+    img_dir.mkdir()
+    rng = np.random.RandomState(3)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, 5):
+        h, w = 256, 320
+        img = (rng.rand(h, w, 3) * 80 + 60).astype(np.uint8)
+        n_persons = 1 + img_id % 2
+        for p in range(n_persons):
+            # persons must be large enough that distinct keypoints' sigma=7
+            # Gaussians don't merge (an inherent encode/decode scale limit
+            # shared with the reference)
+            box = 130 + rng.rand() * 60
+            x0 = 10 + p * 150 + rng.rand() * 10
+            y0 = 10 + rng.rand() * 30
+            kps = np.zeros((17, 3), np.float32)
+            kps[:, 0] = x0 + TEMPLATE[:, 0] * box + rng.rand(17) * 0.7
+            kps[:, 1] = y0 + TEMPLATE[:, 1] * box + rng.rand(17) * 0.7
+            kps[:, 2] = 2
+            bw = kps[:, 0].max() - kps[:, 0].min() + 6
+            bh = kps[:, 1].max() - kps[:, 1].min() + 6
+            bx, by = kps[:, 0].min() - 3, kps[:, 1].min() - 3
+            annotations.append({
+                'id': ann_id, 'image_id': img_id, 'category_id': 1,
+                'keypoints': kps.reshape(-1).tolist(),
+                'num_keypoints': 17, 'iscrowd': 0,
+                'bbox': [float(bx), float(by), float(bw), float(bh)],
+                'area': float(bw * bh * 0.6),
+                'segmentation': [[float(bx), float(by), float(bx + bw),
+                                  float(by), float(bx + bw), float(by + bh),
+                                  float(bx), float(by + bh)]],
+            })
+            ann_id += 1
+        name = f'{img_id:06d}.jpg'
+        cv2.imwrite(str(img_dir / name), img)
+        images.append({'id': img_id, 'file_name': name, 'height': h,
+                       'width': w})
+    ann = {'images': images, 'annotations': annotations,
+           'categories': [{'id': 1, 'name': 'person'}]}
+    ann_file = root / 'annotations.json'
+    ann_file.write_text(json.dumps(ann))
+    return str(img_dir), str(ann_file)
+
+
+def test_dataset_pipeline_shapes(coco_dir):
+    from offsetguided_tpu.config.defaults import AugmentationConfig
+    from offsetguided_tpu.data import CocoKeypoints, batch_iterator
+    img_dir, ann_file = coco_dir
+    ds = CocoKeypoints(img_dir, ann_file, aug=AugmentationConfig(
+        square_length=64, max_translate=10), square_length=64, max_persons=8)
+    assert len(ds) == 4
+    batches = list(batch_iterator(ds, batch_size=2, epochs=1, seed=0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b['image'].shape == (2, 64, 64, 3)
+    assert b['anns'].shape == (2, 8, 17, 4)
+    assert b['mask_miss'].shape == (2, 64, 64)
+    assert b['image'].dtype == np.float32
+
+
+def test_oracle_simulate_ap(coco_dir):
+    """GT -> encoder -> decoder -> inverse -> OKS AP must be near-perfect."""
+    from offsetguided_tpu.data import transforms as T
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval.cocoeval import evaluate_coco_keypoints
+    from offsetguided_tpu.eval.harness import poses_to_coco_results
+    from offsetguided_tpu.ops.encoder import encode_targets
+
+    img_dir, ann_file = coco_dir
+    skeleton = SkeletonConfig()
+    enc_cfg = EncoderConfig(max_persons=8)
+    size = 160
+    pp = PostProcessor(cfg=DecoderConfig(
+        topk=8, thre_hmp=0.1, dist_max=20.0, use_scale=False,
+        person_thre=0.1, max_poses=8))
+    coco = CocoJson(ann_file)
+    sigmas = np.asarray(skeleton.sigmas)
+
+    results = []
+    for img_id in coco.image_ids(with_persons=True):
+        info = coco.image_info(img_id)
+        anns = T.normalize_annotations(coco.anns_for_image(img_id),
+                                       skeleton.sigmas)
+        meta = T.make_meta(info['width'], info['height'])
+        dummy = np.zeros((info['height'], info['width'], 3), np.uint8)
+        img2, anns, meta = T.rescale_long_absolute(dummy, anns, meta, size)
+        _, anns, meta = T.center_pad(img2, anns, meta, size)
+        padded = np.zeros((1, 8, 17, 4), np.float32)
+        padded[0, :len(anns)] = anns[:8]
+        t = encode_targets(jnp.asarray(padded), sigmas, COCO_PERSON_SKELETON,
+                           size // 4, size // 4, enc_cfg)
+        preds = {'hmp': [t.hmp], 'bg': [None], 'jomp': [t.jomp],
+                 'omp': [t.omp], 'spread': [None], 'scmp': [None]}
+        poses, scores, counts = pp.decode(preds)
+        valid = np.asarray(poses[0])[:int(counts[0])]
+        inv = T.annotations_inverse(valid, meta)
+        results.extend(poses_to_coco_results(inv, img_id))
+
+    stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas)
+    assert stats['AP'] > 0.85, stats
+    assert stats['AP50'] > 0.95, stats
+
+
+def test_eval_harness_with_random_model(coco_dir):
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.eval.harness import run_images
+    from offsetguided_tpu.models import PoseNet
+
+    img_dir, ann_file = coco_dir
+    cfg = ModelConfig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                      modules=(1, 1, 1), cnv_dim=8, compute_dtype='float32',
+                      heads=HeadsConfig())
+    model = PoseNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    pp = PostProcessor(cfg=DecoderConfig(topk=4, max_poses=4))
+    eval_cfg = EvalConfig(long_edge=128, flip_test=True, batch_size=2)
+    coco = CocoJson(ann_file)
+    results = run_images(model, variables, pp, coco, img_dir, eval_cfg)
+    assert len(results) >= 4
+    for r in results:
+        assert len(r['keypoints']) == 51
+        assert 'score' in r and 'image_id' in r
+
+
+def test_eval_harness_fixed_height(coco_dir):
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.eval.harness import run_images
+    from offsetguided_tpu.models import PoseNet
+
+    img_dir, ann_file = coco_dir
+    cfg = ModelConfig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                      modules=(1, 1, 1), cnv_dim=8, compute_dtype='float32',
+                      heads=HeadsConfig())
+    model = PoseNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    pp = PostProcessor(cfg=DecoderConfig(topk=4, max_poses=4))
+    eval_cfg = EvalConfig(long_edge=64, fixed_height=True, max_stride=32,
+                          flip_test=False, batch_size=1)
+    coco = CocoJson(ann_file)
+    results = run_images(model, variables, pp, coco, img_dir, eval_cfg)
+    assert len(results) >= 4

@@ -77,7 +77,8 @@ def main():
         padded[0, :min(len(anns), enc_cfg.max_persons)] = \
             anns[:enc_cfg.max_persons]
         poses, scores, counts = oracle_decode(jnp.asarray(padded))
-        inv = T.annotations_inverse(np.asarray(poses[0]), meta)
+        valid = np.asarray(poses[0])[:int(counts[0])]
+        inv = T.annotations_inverse(valid, meta)
         results.extend(poses_to_coco_results(inv, img_id))
         if idx % 100 == 0:
             print(f'simulate {idx}/{len(ids)}')
