@@ -92,22 +92,32 @@ def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2):
 
     Returns the same (scores, flat_inds, ys, xs) as `topk_channel`.
     """
+    assert block == 2, 'exactness argument only holds for 2x2 blocks'
     n, h, w, c = scores.shape
     hb, wb = h // block, w // block
-    s = scores.transpose(0, 3, 1, 2)                    # (N, C, H, W)
-    blocks = s.reshape(n, c, hb, block, wb, block)
-    bvals = blocks.max(axis=(3, 5))                     # (N, C, hb, wb)
-    # within-block argmax (row-major first-wins, matching jnp.argmax)
-    bflat = blocks.transpose(0, 1, 2, 4, 3, 5).reshape(n, c, hb, wb,
-                                                       block * block)
-    barg = jnp.argmax(bflat, axis=-1).astype(jnp.int32)  # (N, C, hb, wb)
-
-    topv, topb = _topk_segmented(bvals.reshape(n, c, hb * wb), k)
+    # block maxima in one reduce_window pass (no layout shuffle of the full
+    # map), then resolve the within-block argmax only at the K chosen blocks
+    # via tiny gathers
+    bvals = jax.lax.reduce_window(
+        scores, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, block, block, 1),
+        window_strides=(1, block, block, 1), padding='VALID')
+    bflat = bvals.transpose(0, 3, 1, 2).reshape(n, c, hb * wb)
+    topv, topb = _topk_segmented(bflat, k)
     topb = topb.astype(jnp.int32)
-    by, bx = topb // wb, topb % wb
-    local = jnp.take_along_axis(barg.reshape(n, c, hb * wb), topb, axis=-1)
-    ys = by * block + local // block
-    xs = bx * block + local % block
+    by, bx = topb // wb, topb % wb                       # (N, C, K)
+    ys0, xs0 = by * block, bx * block
+
+    flat = scores.reshape(n, h * w, c)
+    def gather_at(yy, xx):
+        idx = (yy * w + xx).transpose(0, 2, 1)           # (N, K, C)
+        return jnp.take_along_axis(flat, idx, axis=1).transpose(0, 2, 1)
+
+    cands = jnp.stack([gather_at(ys0, xs0), gather_at(ys0, xs0 + 1),
+                       gather_at(ys0 + 1, xs0), gather_at(ys0 + 1, xs0 + 1)])
+    local = jnp.argmax(cands, axis=0).astype(jnp.int32)  # first-wins row-major
+    ys = ys0 + local // block
+    xs = xs0 + local % block
     return topv, ys * w + xs, ys, xs
 
 
