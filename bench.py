@@ -14,6 +14,9 @@ import time
 import jax
 import jax.numpy as jnp
 
+jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+
 sys.path.insert(0, '/root/repo')
 
 BASELINE_FPS = 30.0  # reference 2080 Ti end-to-end FPS

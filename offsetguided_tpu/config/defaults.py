@@ -111,6 +111,10 @@ class HeadsConfig:
     include_jitter_offset: bool = True
     include_spread: bool = False
     include_scale: bool = True
+    # 3x3-conv + ReLU + 1x1 tower heads instead of plain 1x1 convs
+    # (reference models/heads_3x3.py:11-167 variant)
+    tower: bool = False
+    tower_dim: int = 256
 
 
 @dataclasses.dataclass(frozen=True)

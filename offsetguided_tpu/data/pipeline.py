@@ -103,6 +103,25 @@ class CocoKeypoints:
         }
 
 
+class ImageList:
+    """Inference-only dataset over a list of image paths
+    (reference data/dataset.py:200-227)."""
+
+    def __init__(self, image_paths):
+        self.image_paths = list(image_paths)
+
+    def __len__(self):
+        return len(self.image_paths)
+
+    def get(self, index: int):
+        path = self.image_paths[index]
+        image = cv2.imread(path)
+        if image is None:
+            raise IOError(f'missing image: {path}')
+        return {'image': cv2.cvtColor(image, cv2.COLOR_BGR2RGB),
+                'meta': {'dataset_index': index, 'file_name': path}}
+
+
 def batch_iterator(dataset: CocoKeypoints, batch_size: int, *,
                    seed: int = 0, shuffle: bool = True,
                    drop_last: bool = True, prefetch: int = 2,

@@ -271,6 +271,25 @@ def color_tint(image: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
     return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
 
 
+def jpeg_compression(image: np.ndarray, rng: np.random.RandomState,
+                     quality_range=(50, 95)) -> np.ndarray:
+    """Random JPEG re-compression artifact augmentation
+    (reference transforms/image.py JpegCompression)."""
+    q = int(rng.randint(quality_range[0], quality_range[1] + 1))
+    ok, enc = cv2.imencode('.jpg', cv2.cvtColor(image, cv2.COLOR_RGB2BGR),
+                           [int(cv2.IMWRITE_JPEG_QUALITY), q])
+    if not ok:
+        return image
+    return cv2.cvtColor(cv2.imdecode(enc, cv2.IMREAD_COLOR), cv2.COLOR_BGR2RGB)
+
+
+def blur(image: np.ndarray, rng: np.random.RandomState,
+         max_sigma: float = 2.0) -> np.ndarray:
+    """Random Gaussian blur (reference transforms/image.py Blur)."""
+    sigma = 0.3 + rng.rand() * (max_sigma - 0.3)
+    return cv2.GaussianBlur(image, (0, 0), sigma)
+
+
 def normalize_image(image: np.ndarray) -> np.ndarray:
     """uint8 RGB -> float32, ImageNet-normalized (transforms/__init__.py:25-35)."""
     img = image.astype(np.float32) / 255.0

@@ -28,9 +28,30 @@ class PoseHeads(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     def _conv(self, features, name):
-        return nn.Conv(features, (1, 1), use_bias=True, kernel_init=conv_init,
-                       dtype=self.dtype, param_dtype=self.param_dtype,
-                       name=name)
+        if not self.cfg.tower:
+            return nn.Conv(features, (1, 1), use_bias=True,
+                           kernel_init=conv_init, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=name)
+
+        class Tower(nn.Module):
+            """3x3 conv + ReLU + 1x1 (reference models/heads_3x3.py variant)."""
+            feats: int
+            mid: int
+            dtype: jnp.dtype
+            param_dtype: jnp.dtype
+
+            @nn.compact
+            def __call__(self, x):
+                x = nn.Conv(self.mid, (3, 3), padding='SAME', use_bias=True,
+                            kernel_init=conv_init, dtype=self.dtype,
+                            param_dtype=self.param_dtype)(x)
+                x = nn.relu(x)
+                return nn.Conv(self.feats, (1, 1), use_bias=True,
+                               kernel_init=conv_init, dtype=self.dtype,
+                               param_dtype=self.param_dtype)(x)
+
+        return Tower(features, self.cfg.tower_dim, self.dtype,
+                     self.param_dtype, name=name)
 
     @nn.compact
     def __call__(self, stack_features: List[jnp.ndarray]) -> Dict[str, list]:

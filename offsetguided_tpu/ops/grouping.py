@@ -119,12 +119,19 @@ def _group_single(packed, skeleton, cfg: DecoderConfig, n_keypoints: int,
         # a row that is itself being merged away cannot receive a merge
         a_is_mergee = has_target[a_sel]
         do_merge = has_target & ~a_is_mergee
-        contrib = jnp.where(do_merge[:, None, None], subset,
+        # one mergee per target row per iteration (extra pairs settle on later
+        # limb iterations; keeps parity with the Pallas kernel formulation)
+        T = (ar[:, None] == a_sel[None, :]) & do_merge[None, :]   # (Ma, Mb)
+        first_b = jnp.argmax(T, axis=1)
+        hasb = T.any(axis=1)
+        consumed = (jnp.zeros((M,), jnp.int32)
+                    .at[first_b].add(hasb.astype(jnp.int32)) > 0)
+        contrib = jnp.where(consumed[:, None, None], subset,
                             -jnp.inf)                               # (M, J, 6)
-        tgt = jnp.where(do_merge, a_sel, M)          # OOB -> dropped
+        tgt = jnp.where(consumed, a_sel, M)          # OOB -> dropped
         subset = subset.at[tgt].max(contrib, mode='drop')
-        subset = jnp.where(do_merge[:, None, None], -1.0, subset)
-        used = used & ~do_merge
+        subset = jnp.where(consumed[:, None, None], -1.0, subset)
+        used = used & ~consumed
 
         # --- new skeletons from unmatched conns -----------------------------
         untouched = (mask_sum == 0).all(axis=0)

@@ -114,11 +114,16 @@ def group_skeletons_ref(limbs: np.ndarray, skeleton, *, person_thre=0.06,
                 for b in range(a + 1, n_rows):
                     cnt[a, b] = int(np.sum((inds[a] == inds[b]) & (inds[a] != -1)))
             dead = []
+            receivers = []
             for b in range(n_rows):
                 for a in range(b):
-                    if cnt[a, b] == 2 and a not in dead and b not in dead:
+                    # one mergee per target row per limb iteration (extra
+                    # pairs settle on later iterations)
+                    if (cnt[a, b] == 2 and a not in dead and b not in dead
+                            and a not in receivers):
                         subset[a] = np.maximum(subset[a], subset[b])
                         dead.append(b)
+                        receivers.append(a)
                         break
             if dead:
                 subset = np.delete(subset, dead, axis=0)
@@ -137,6 +142,37 @@ def group_skeletons_ref(limbs: np.ndarray, skeleton, *, person_thre=0.06,
             subset = np.concatenate([subset, row], axis=0)
 
     return delete_sort_ref(subset, person_thre, sort_dim, max_poses)
+
+
+def soft_nms(poses: np.ndarray, suppressed_v: float = 0.0) -> np.ndarray:
+    """Pose-level occupancy suppression (reference decoder/group.py:249-283).
+
+    Walks poses in order, marking square regions around claimed keypoints;
+    later keypoints landing on occupied cells get their visibility zeroed.
+    The reference notes it "makes no difference" for Gaussian-spread models
+    and leaves it disabled; provided for capability parity.
+    """
+    poses = np.array(poses, copy=True)
+    if not len(poses):
+        return poses
+    h = int(max(p[:, 1].max() for p in poses) + 1)
+    w = int(max(p[:, 0].max() for p in poses) + 1)
+    occupied = np.zeros((poses.shape[1], max(h, 1), max(w, 1)), dtype=np.uint8)
+    for pose in poses:
+        joint_scales = np.maximum(10.0, pose[:, 3])
+        for j, (xyv, js) in enumerate(zip(pose[:, :3], joint_scales)):
+            if xyv[2] <= 0:
+                continue
+            x = int(np.clip(xyv[0], 0, w - 1))
+            y = int(np.clip(xyv[1], 0, h - 1))
+            if occupied[j, y, x]:
+                pose[j, 2] = suppressed_v
+            else:
+                x0, y0 = max(0, int(xyv[0] - js)), max(0, int(xyv[1] - js))
+                x1 = max(x0 + 1, min(w, int(xyv[0] + js) + 1))
+                y1 = max(y0 + 1, min(h, int(xyv[1] + js) + 1))
+                occupied[j, y0:y1, x0:x1] += 1
+    return poses
 
 
 def delete_sort_ref(subset, thre, sort_dim, max_poses):

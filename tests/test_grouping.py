@@ -125,3 +125,16 @@ def test_merge_two_half_skeletons(rng):
     ref_poses, ref_scores, poses, scores, count = run_both(limbs, cfg)
     assert count == 1 == len(ref_scores)
     np.testing.assert_allclose(poses[0], ref_poses[0], atol=1e-5)
+
+
+def test_soft_nms_suppresses_duplicates():
+    from offsetguided_tpu.ops.grouping_ref import soft_nms
+    pose = np.zeros((17, 6))
+    pose[:, 0] = np.arange(17) * 20.0 + 5
+    pose[:, 1] = 30.0
+    pose[:, 2] = 0.9
+    pose[:, 3] = 5.0
+    dup = pose.copy()
+    out = soft_nms(np.stack([pose, dup]))
+    assert np.all(out[0, :, 2] == 0.9)       # first pose untouched
+    assert np.all(out[1, :, 2] == 0.0)       # duplicate suppressed

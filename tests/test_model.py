@@ -78,3 +78,12 @@ def test_bf16_compute_fp32_params():
     assert all(l.dtype == jnp.float32 for l in leaves)
     out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
     assert out['hmp'][0].dtype == jnp.float32  # heads cast back to fp32
+
+
+def test_tower_heads():
+    from offsetguided_tpu.config.defaults import HeadsConfig
+    cfg = small_cfg(heads=HeadsConfig(tower=True, tower_dim=16))
+    model, variables = create_model_state(jax.random.PRNGKey(0), cfg,
+                                          (1, 32, 32, 3))
+    out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+    assert out['hmp'][0].shape == (1, 8, 8, 17)
