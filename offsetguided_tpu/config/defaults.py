@@ -100,6 +100,8 @@ class DecoderConfig:
     nms_kernel: int = 3               # peak NMS window
     max_poses: int = 40               # fixed-shape capacity of the grouped output
     upsampled_decode: bool = True     # decode at input resolution (reference parity)
+    # 'auto': single fused Pallas grouping kernel on TPU, XLA elsewhere
+    pallas_grouping: str = 'auto'     # 'auto' | 'on' | 'off'
 
 
 @dataclasses.dataclass(frozen=True)

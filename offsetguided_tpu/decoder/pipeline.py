@@ -150,9 +150,18 @@ class PostProcessor:
                 # refine with jitter offsets gathered at stride resolution
                 packed = self._apply_jitter_lowres(packed, jomp, limbs)
 
-        poses, scores, counts = grouping.group_skeletons(
-            packed, tuple(zip(self._jf, self._jt)), cfg,
-            n_keypoints=self.skeleton.n_keypoints)
+        use_pallas = (cfg.pallas_grouping == 'on'
+                      or (cfg.pallas_grouping == 'auto'
+                          and jax.default_backend() == 'tpu'))
+        if use_pallas:
+            from ..ops.pallas.grouping_pallas import group_skeletons_pallas
+            poses, scores, counts = group_skeletons_pallas(
+                packed, tuple(zip(self._jf, self._jt)), cfg,
+                n_keypoints=self.skeleton.n_keypoints)
+        else:
+            poses, scores, counts = grouping.group_skeletons(
+                packed, tuple(zip(self._jf, self._jt)), cfg,
+                n_keypoints=self.skeleton.n_keypoints)
         return poses, scores, counts
 
     def _apply_jitter_lowres(self, packed, jomp, limbs):

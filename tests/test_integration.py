@@ -174,3 +174,19 @@ def test_eval_harness_fixed_height(coco_dir):
     coco = CocoJson(ann_file)
     results = run_images(model, variables, pp, coco, img_dir, eval_cfg)
     assert len(results) >= 4
+
+
+def test_train_tool_smoke(coco_dir, tmp_path):
+    """tools/train.py end-to-end: 3 optimizer steps on the synthetic dataset."""
+    import sys
+    sys.path.insert(0, 'tools')
+    import importlib
+    train_mod = importlib.import_module('train')
+    img_dir, ann_file = coco_dir
+    train_mod.main([
+        '--train-image-dir', img_dir, '--train-annotations', ann_file,
+        '--square-length', '64', '--batch-size', '2', '--max-persons', '4',
+        '--debug-tiny-model', '--max-steps', '3', '--epochs', '1',
+        '--checkpoint-dir', str(tmp_path / 'ckpt'), '--print-freq', '1'])
+    import os
+    assert any('posenet' in f for f in os.listdir(tmp_path / 'ckpt'))

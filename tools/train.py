@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def cli():
+def cli(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     g = p.add_argument_group('data')
     g.add_argument('--train-image-dir', required=True)
@@ -67,11 +67,15 @@ def cli():
     g.add_argument('--distributed', action='store_true',
                    help='multi-host: call jax.distributed.initialize()')
     g.add_argument('--seed', type=int, default=0)
-    return p.parse_args()
+    g.add_argument('--debug-tiny-model', action='store_true',
+                   help='swap in a narrow backbone (CI smoke tests)')
+    g.add_argument('--max-steps', type=int, default=None,
+                   help='stop after this many optimizer steps')
+    return p.parse_args(argv)
 
 
-def main():
-    args = cli()
+def main(argv=None):
+    args = cli(argv)
     if args.distributed:
         jax.distributed.initialize()
 
@@ -99,8 +103,14 @@ def main():
         include_background=not args.no_background,
         include_jitter_offset=not args.no_jitter_offset,
         include_scale=not args.no_scale)
-    model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
-                            heads=heads)
+    if args.debug_tiny_model:
+        model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
+                                hg_order=2, dims=(16, 16, 24),
+                                modules=(1, 1, 1), cnv_dim=16,
+                                compute_dtype='float32', heads=heads)
+    else:
+        model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
+                                heads=heads)
     enc_cfg = EncoderConfig(max_persons=args.max_persons)
     loss_cfg = LossConfig(fgamma=args.fgamma, lambdas=tuple(args.lambdas),
                           sqrt_re=args.sqrt_re,
@@ -123,7 +133,13 @@ def main():
     logger.info('dataset: %d images, %d steps/epoch, %d devices',
                 len(dataset), steps_per_epoch, n_dev)
 
-    mesh = make_mesh(n_dev, 1)
+    # the data axis must divide the global batch; use the largest divisor
+    n_data = max(d for d in range(1, n_dev + 1) if args.batch_size % d == 0)
+    if n_data != n_dev:
+        logger.warning('batch size %d not divisible by %d devices; '
+                       'using %d-way data parallelism',
+                       args.batch_size, n_dev, n_data)
+    mesh = make_mesh(n_data, 1)
     model = PoseNet(model_cfg)
     variables = model.init(
         jax.random.PRNGKey(args.seed),
@@ -133,11 +149,11 @@ def main():
     tx = make_optimizer(train_cfg, schedule)
     if args.freeze:
         import optax
-        tx = optax.chain(optax.masked(
-            optax.set_to_zero(),
-            jax.tree_util.tree_map(lambda _: False,
-                                   ckpt.freeze_mask(variables['params'],
-                                                    args.freeze))), tx)
+        # freeze_mask is True where trainable; zero gradients where frozen
+        frozen = jax.tree_util.tree_map(
+            lambda trainable: not trainable,
+            ckpt.freeze_mask(variables['params'], args.freeze))
+        tx = optax.chain(optax.masked(optax.set_to_zero(), frozen), tx)
     state = create_train_state(variables, tx)
     start_epoch = 0
     if args.resume:
@@ -172,6 +188,12 @@ def main():
             images, targets, mask = device_batch(batch)
             state, metrics = train_step(state, images, targets, mask)
             step += 1
+            if args.max_steps is not None and step >= args.max_steps:
+                if jax.process_index() == 0:
+                    path = ckpt.save_checkpoint(args.checkpoint_dir, state,
+                                                epoch, meter.avg)
+                    logger.info('max-steps reached, checkpoint %s', path)
+                return
             tput.tick(args.batch_size)
             if step % args.print_freq == 0:
                 m = {k: float(v) for k, v in metrics.items()}
