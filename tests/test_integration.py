@@ -190,3 +190,61 @@ def test_train_tool_smoke(coco_dir, tmp_path):
         '--checkpoint-dir', str(tmp_path / 'ckpt'), '--print-freq', '1'])
     import os
     assert any('posenet' in f for f in os.listdir(tmp_path / 'ckpt'))
+
+
+def test_evaluate_tool_smoke(coco_dir, tmp_path, monkeypatch):
+    """tools/evaluate.py end-to-end on the synthetic dataset (random net)."""
+    import sys
+    sys.path.insert(0, 'tools')
+    import importlib
+    ev = importlib.import_module('evaluate')
+    img_dir, ann_file = coco_dir
+    out = tmp_path / 'res.json'
+    argv_backup = sys.argv
+    sys.argv = ['evaluate.py', '--image-dir', img_dir,
+                '--annotation-file', ann_file, '--long-edge', '128',
+                '--batch-size', '2', '--results-json', str(out)]
+    try:
+        # shrink the model for CI speed
+        from offsetguided_tpu.config import defaults as D
+        orig = D.ModelConfig
+        monkeypatch.setattr(
+            D, 'ModelConfig',
+            lambda **kw: orig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                              modules=(1, 1, 1), cnv_dim=8,
+                              compute_dtype='float32',
+                              heads=kw.get('heads', D.HeadsConfig())))
+        ev.main()
+    finally:
+        sys.argv = argv_backup
+    import json as _json
+    res = _json.loads(out.read_text())
+    assert len(res) >= 4
+
+
+def test_demo_tool_smoke(coco_dir, tmp_path, monkeypatch):
+    import matplotlib
+    matplotlib.use('Agg')
+    import sys, os
+    sys.path.insert(0, 'tools')
+    import importlib
+    demo = importlib.import_module('demo')
+    img_dir, ann_file = coco_dir
+    img = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    from offsetguided_tpu.config import defaults as D
+    orig = D.ModelConfig
+    monkeypatch.setattr(
+        D, 'ModelConfig',
+        lambda **kw: orig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                          modules=(1, 1, 1), cnv_dim=8,
+                          compute_dtype='float32',
+                          heads=kw.get('heads', D.HeadsConfig())))
+    argv_backup = sys.argv
+    sys.argv = ['demo.py', img, '--long-edge', '64',
+                '--output-dir', str(tmp_path), '--show-heatmaps']
+    try:
+        demo.main()
+    finally:
+        sys.argv = argv_backup
+    outs = list(tmp_path.iterdir())
+    assert any(p.name.endswith('.poses.png') for p in outs)
