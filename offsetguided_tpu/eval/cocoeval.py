@@ -215,6 +215,39 @@ def _kp_area(kps) -> float:
     return float(w * h)
 
 
+def evaluate_crowdpose_keypoints(gt_json_or_index, results: List[Dict],
+                                 sigmas) -> Dict[str, float]:
+    """CrowdPose protocol: overall AP plus AP on easy/medium/hard image bands
+    split by the per-image crowdIndex (reference README.md:133-150 reports
+    AP/APe/APm/APh).
+
+    Bands follow the crowdpose-api convention: easy crowdIndex < 0.1,
+    medium 0.1..0.8, hard > 0.8.
+    """
+    from ..data.coco import CocoJson
+    coco = (gt_json_or_index if isinstance(gt_json_or_index, CocoJson)
+            else CocoJson(gt_json_or_index))
+    gts_by_img = {i: coco.anns_for_image(i)
+                  for i in coco.image_ids(with_persons=True)}
+    dts_by_img = defaultdict(list)
+    for r in results:
+        dts_by_img[r['image_id']].append(r)
+    ev = KeypointEval(sigmas)
+    out = {'AP': ev.run(gts_by_img, dts_by_img)['AP']}
+
+    def band(lo, hi):
+        ids = [i for i in gts_by_img
+               if lo <= coco.image_info(i).get('crowdIndex', 0.0) < hi]
+        g = {i: gts_by_img[i] for i in ids}
+        d = {i: dts_by_img.get(i, []) for i in ids}
+        return ev.run(g, d)['AP'] if ids else -1.0
+
+    out['AP_easy'] = band(-1.0, 0.1)
+    out['AP_medium'] = band(0.1, 0.8)
+    out['AP_hard'] = band(0.8, 10.0)
+    return out
+
+
 def evaluate_coco_keypoints(gt_json_or_index, results: List[Dict],
                             sigmas) -> Dict[str, float]:
     """COCOeval-style entry: GT annotation file/index + result dicts

@@ -396,8 +396,12 @@ def collect_limbs_peak_sampled(
     jf = jnp.asarray(jtypes_f, dtype=jnp.int32)
     jt = jnp.asarray(jtypes_t, dtype=jnp.int32)
 
-    scores, inds, ys, xs = topk_channel_blockreduce(
-        hmp_nms(hmp_up, cfg.nms_kernel), k)
+    # barrier: stop XLA from fusing the (expensive, 16-phase bicubic)
+    # upsample producer into the NMS reduce_window consumer, which would
+    # recompute the interpolation once per window tap
+    hmp_up = jax.lax.optimization_barrier(hmp_up)
+    nmsed = jax.lax.optimization_barrier(hmp_nms(hmp_up, cfg.nms_kernel))
+    scores, inds, ys, xs = topk_channel_blockreduce(nmsed, k)
 
     def channel_dets(jtypes):
         s = jnp.take(scores, jtypes, axis=1)

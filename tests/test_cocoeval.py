@@ -79,3 +79,32 @@ def test_false_positives_hurt_precision(rng):
     fake = dt_from_gt(make_gt(rng, 0, 2)[1], score=0.95)
     stats = ev.run({0: g}, {0: [dt_from_gt(g[0], score=0.9), fake]})
     assert stats['AP'] < 1.0
+
+
+def test_crowdpose_bands(rng, tmp_path):
+    import json
+    from offsetguided_tpu.config.crowdpose import CROWDPOSE_SIGMAS
+    from offsetguided_tpu.eval.cocoeval import evaluate_crowdpose_keypoints
+    J = 14
+    images, annotations, results = [], [], []
+    ann_id = 1
+    for img_id, ci in [(1, 0.0), (2, 0.5), (3, 0.9)]:
+        images.append({'id': img_id, 'file_name': f'{img_id}.jpg',
+                       'height': 400, 'width': 400, 'crowdIndex': ci})
+        xy = rng.rand(J, 2) * 300 + 20
+        kps = np.concatenate([xy, np.full((J, 1), 2.0)], 1)
+        annotations.append({'id': ann_id, 'image_id': img_id,
+                            'category_id': 1, 'iscrowd': 0,
+                            'keypoints': kps.reshape(-1).tolist(),
+                            'num_keypoints': J, 'area': 90000.0,
+                            'bbox': [20, 20, 300, 300]})
+        ann_id += 1
+        results.append({'image_id': img_id, 'category_id': 1,
+                        'keypoints': kps.reshape(-1).tolist(), 'score': 0.9})
+    f = tmp_path / 'cp.json'
+    f.write_text(json.dumps({'images': images, 'annotations': annotations,
+                             'categories': [{'id': 1, 'name': 'person'}]}))
+    stats = evaluate_crowdpose_keypoints(str(f), results, CROWDPOSE_SIGMAS)
+    assert abs(stats['AP'] - 1.0) < 1e-6
+    for k in ('AP_easy', 'AP_medium', 'AP_hard'):
+        assert abs(stats[k] - 1.0) < 1e-6
