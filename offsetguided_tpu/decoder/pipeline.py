@@ -124,8 +124,10 @@ class PostProcessor:
 
         if cfg.upsampled_decode:
             # only heatmaps are physically upsampled (peak finding needs the
-            # bicubic surface); aux maps are interpolated at the K peaks only
-            hmp_up = upsample2d(hmp, s, cfg.resize_mode)
+            # bicubic surface); aux maps are interpolated at the K peaks only.
+            # matmul formulation: the interpolation rides the MXU on TPU.
+            from ..ops.resize import upsample2d_matmul
+            hmp_up = upsample2d_matmul(hmp, s, cfg.resize_mode)
             limbs = dec_ops.collect_limbs_peak_sampled(
                 hmp_up, omp, np.asarray(self._jf), np.asarray(self._jt), cfg,
                 jomps4=jomp, scmps4=scmp, stride=s)

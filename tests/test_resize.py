@@ -33,3 +33,12 @@ def test_upsample_nearest_shape(rng):
 def test_upsample_axis_identity(rng):
     x = rng.randn(3, 5).astype(np.float32)
     np.testing.assert_array_equal(np.asarray(upsample_axis(jnp.asarray(x), 0, 1, 'bicubic')), x)
+
+
+@pytest.mark.parametrize('method', ['bicubic', 'bilinear'])
+def test_upsample_matmul_matches_phase_table(rng, method):
+    from offsetguided_tpu.ops.resize import upsample2d_matmul
+    x = rng.randn(2, 9, 11, 5).astype(np.float32)
+    a = np.asarray(upsample2d(jnp.asarray(x), 4, method))
+    b = np.asarray(upsample2d_matmul(jnp.asarray(x), 4, method))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
