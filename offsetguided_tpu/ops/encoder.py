@@ -118,9 +118,12 @@ def _encode_single(anns, *, sigmas, skeleton, out_h, out_w, cfg: EncoderConfig):
         norm = jnp.sqrt(dx * dx + dy * dy)
         norm = jnp.where(jmask & vis[:, None, None], norm, jnp.inf)
         jbest_k = jnp.argmin(norm, axis=0)                        # (Ho, Wo)
-        jmin = jnp.take_along_axis(norm, jbest_k[None], axis=0)[0]
+        jmin = jnp.min(norm, axis=0)
         win = jmin < j_best
-        sel = lambda v: jnp.take_along_axis(v, jbest_k[None], axis=0)[0]
+        # select the winning joint's offsets via a one-hot reduce: spatial
+        # take_along_axis gathers are pathologically slow on TPU
+        onehot = (jnp.arange(J)[:, None, None] == jbest_k[None])  # (J, Ho, Wo)
+        sel = lambda v: jnp.sum(jnp.where(onehot, v, 0.0), axis=0)
         j_off = jnp.where(win[..., None],
                           jnp.stack([sel(dx), sel(dy)], axis=-1), j_off)
         j_best = jnp.where(win, jmin, j_best)

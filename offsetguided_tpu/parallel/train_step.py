@@ -90,6 +90,20 @@ def make_eval_step(model, loss_cfg: LossConfig):
     return eval_step
 
 
+def cyclic_lr_schedule(cfg: TrainConfig, steps_per_epoch: int,
+                       cycle_epochs: int = 10, min_factor: float = 0.1):
+    """SWA-style cyclic schedule (reference utils/util.py:63-71
+    adjust_learning_rate_cyclic): LR decays linearly within each cycle."""
+    base = cfg.learning_rate
+
+    def schedule(step):
+        epoch = jnp.asarray(step, jnp.float32) / steps_per_epoch
+        t = jnp.mod(epoch, cycle_epochs) / cycle_epochs
+        return base * (1.0 - (1.0 - min_factor) * t)
+
+    return schedule
+
+
 def step_lr_schedule(cfg: TrainConfig, steps_per_epoch: int):
     """Reference hand-tuned schedule: optional warmup then step drops at
     fixed epochs (utils/util.py:27-60)."""
