@@ -27,7 +27,7 @@ import numpy as np
 from ..config.defaults import DecoderConfig, SkeletonConfig
 from ..ops import decoder as dec_ops
 from ..ops import grouping
-from ..ops.resize import upsample2d
+from ..ops.resize import upsample2d_matmul
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,7 +126,6 @@ class PostProcessor:
             # only heatmaps are physically upsampled (peak finding needs the
             # bicubic surface); aux maps are interpolated at the K peaks only.
             # matmul formulation: the interpolation rides the MXU on TPU.
-            from ..ops.resize import upsample2d_matmul
             hmp_up = upsample2d_matmul(hmp, s, cfg.resize_mode)
             limbs = dec_ops.collect_limbs_peak_sampled(
                 hmp_up, omp, np.asarray(self._jf), np.asarray(self._jt), cfg,

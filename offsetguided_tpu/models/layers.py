@@ -9,8 +9,6 @@ SyncBN (train_dist.py:185-191) without a dedicated wrapper.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -24,11 +24,9 @@ limb iteration (additional pairs settle on later iterations).
 from __future__ import annotations
 
 import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...config.defaults import DecoderConfig
 

@@ -24,6 +24,10 @@ def cli():
     p.add_argument('--show-heatmaps', action='store_true')
     p.add_argument('--show-limb-offsets', type=int, default=None,
                    help='limb index to quiver-plot')
+    p.add_argument('--show-all-limbs', action='store_true',
+                   help='plot every candidate limb above --limb-thre '
+                        '(reference demo_batch.py:241-304)')
+    p.add_argument('--limb-thre', type=float, default=0.1)
     return p.parse_args()
 
 
@@ -88,6 +92,29 @@ def main():
             with image_canvas(img * 0.5 + 0.5, base + '.omp.png') as ax:
                 draw_limb_offset(ax, np.asarray(preds['omp'][-1][0]),
                                  args.show_limb_offsets)
+        if args.show_all_limbs:
+            from offsetguided_tpu.ops import decoder as dec_ops
+            from offsetguided_tpu.ops.resize import upsample2d_matmul
+            jf = np.asarray(pp._jf)
+            jt = np.asarray(pp._jt)
+            maps = pp.select_stage(preds)
+            hmp_up = upsample2d_matmul(maps['hmp'][:1], pp.cfg.stride,
+                                       pp.cfg.resize_mode)
+            limbs = dec_ops.collect_limbs_peak_sampled(
+                hmp_up, maps['omp'][:1], jf, jt, pp.cfg,
+                jomps4=maps['jomp'][:1] if maps['jomp'] is not None else None,
+                scmps4=maps['scmp'][:1] if maps['scmp'] is not None else None)
+            packed = np.asarray(dec_ops.pack_limbs(limbs))[0]  # (L, K, 13)
+            with image_canvas(img * 0.5 + 0.5, base + '.limbs.png') as ax:
+                for l in range(packed.shape[0]):
+                    for k in range(packed.shape[1]):
+                        x1, y1, _, x2, y2, _ = packed[l, k, :6]
+                        score = packed[l, k, 10]
+                        if score < args.limb_thre or x1 < 0 or x2 < 0:
+                            continue
+                        ax.plot([x1, x2], [y1, y2], '-', linewidth=1,
+                                alpha=min(1.0, 0.2 + score),
+                                color='lime')
 
 
 if __name__ == '__main__':
