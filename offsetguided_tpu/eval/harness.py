@@ -86,10 +86,13 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
                image_dir: str, cfg: EvalConfig,
                n_images: Optional[int] = None,
                skeleton: Optional[SkeletonConfig] = None,
-               progress: bool = False):
-    """Evaluate the model over a COCO image set; returns result dicts."""
+               progress: bool = False, all_images: bool = False):
+    """Evaluate the model over a COCO image set; returns result dicts.
+
+    all_images: include images without person annotations (test-dev protocol,
+    reference evaluate.py:117-118)."""
     skeleton = skeleton or SkeletonConfig()
-    ids = coco.image_ids(with_persons=True)
+    ids = coco.image_ids(with_persons=not all_images)
     if n_images:
         ids = ids[:n_images]
     batch_size = 1 if cfg.fixed_height else cfg.batch_size

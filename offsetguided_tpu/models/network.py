@@ -22,6 +22,10 @@ def basenet_factory(cfg: ModelConfig) -> nn.Module:
     4-stage net is actually buildable here)."""
     if cfg.basenet == 'hourglass104':
         return Hourglass104(cfg)
+    if cfg.basenet == 'hourglass52':
+        # single-stack hourglass (reference networks.py:212-215)
+        import dataclasses as _dc
+        return Hourglass104(_dc.replace(cfg, n_stacks=1))
     if cfg.basenet == 'hourglass4stage':
         return Hourglass4Stage(cfg)
     raise ValueError(f'unknown basenet: {cfg.basenet}')

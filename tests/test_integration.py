@@ -185,6 +185,7 @@ def test_train_tool_smoke(coco_dir, tmp_path):
     img_dir, ann_file = coco_dir
     train_mod.main([
         '--train-image-dir', img_dir, '--train-annotations', ann_file,
+        '--val-image-dir', img_dir, '--val-annotations', ann_file,
         '--square-length', '64', '--batch-size', '2', '--max-persons', '4',
         '--debug-tiny-model', '--max-steps', '3', '--epochs', '1',
         '--checkpoint-dir', str(tmp_path / 'ckpt'), '--print-freq', '1'])

@@ -87,3 +87,13 @@ def test_tower_heads():
                                           (1, 32, 32, 3))
     out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
     assert out['hmp'][0].shape == (1, 8, 8, 17)
+
+
+def test_hourglass52_single_stack():
+    cfg = small_cfg(basenet='hourglass52')
+    model, variables = create_model_state(jax.random.PRNGKey(0), cfg,
+                                          (1, 32, 32, 3))
+    out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+    # single-stack backbone: heads still follow cfg.n_stacks? heads apply per
+    # backbone stack output, which is 1 for hourglass52
+    assert len(out['hmp']) == 1

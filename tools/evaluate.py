@@ -35,6 +35,8 @@ def cli():
     p.add_argument('--lowres-decode', action='store_true',
                    help='decode at stride resolution (fast path)')
     p.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
+    p.add_argument('--all-images', action='store_true',
+                   help='include images without annotations (test-dev)')
     p.add_argument('--results-json', default=None)
     return p.parse_args()
 
@@ -83,7 +85,7 @@ def main():
     coco = CocoJson(args.annotation_file)
     results = run_images(model, variables, pp, coco, args.image_dir, eval_cfg,
                          n_images=args.n_images, skeleton=skeleton,
-                         progress=True)
+                         progress=True, all_images=args.all_images)
     if args.results_json:
         with open(args.results_json, 'w') as f:
             json.dump(results, f)

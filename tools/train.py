@@ -33,7 +33,7 @@ def cli(argv=None):
 
     g = p.add_argument_group('model')
     g.add_argument('--basenet', default='hourglass104',
-                   choices=['hourglass104', 'hourglass4stage'])
+                   choices=['hourglass104', 'hourglass52', 'hourglass4stage'])
     g.add_argument('--n-stacks', type=int, default=2)
     g.add_argument('--no-background', action='store_true')
     g.add_argument('--no-jitter-offset', action='store_true')
@@ -177,6 +177,27 @@ def main(argv=None):
         mask = downscale_mask(mask_in, enc_cfg)
         return images, targets, mask
 
+    # optional validation-loss pass per epoch (reference test(),
+    # train_dist.py:390-455)
+    val_dataset = None
+    if args.val_image_dir and args.val_annotations:
+        from offsetguided_tpu.parallel import make_eval_step
+        val_dataset = CocoKeypoints(
+            args.val_image_dir, args.val_annotations, skeleton=skeleton,
+            aug=None, square_length=args.square_length,
+            max_persons=args.max_persons)
+        eval_step = jax.jit(make_eval_step(model, loss_cfg))
+
+    def run_validation(state, epoch):
+        vmeter = AverageMeter()
+        for vb in batch_iterator(val_dataset, args.batch_size, seed=1,
+                                 shuffle=False, epochs=1):
+            vi, vt, vm = device_batch(vb)
+            losses = eval_step(state, vi, vt, vm)
+            vmeter.update(float(losses['total']))
+        log_record(logger, 'val', type='val', epoch=epoch, loss=vmeter.avg)
+        return vmeter.avg
+
     meter = AverageMeter()
     tput = Throughput()
     step = 0
@@ -203,6 +224,9 @@ def main(argv=None):
                            imgs_per_sec=round(tput.rate, 2))
             if step % steps_per_epoch == 0:
                 epoch += 1
+                if val_dataset is not None:
+                    val_loss = run_validation(state, epoch)
+                    logger.info('epoch %d val loss %.4f', epoch, val_loss)
                 if jax.process_index() == 0:
                     path = ckpt.save_checkpoint(args.checkpoint_dir, state,
                                                 epoch, meter.avg)
