@@ -42,18 +42,30 @@ def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
     return T.normalize_image(image), anns, meta
 
 
-def make_infer_fn(model, variables, pp: PostProcessor, flip_test: bool):
-    """One jitted program: forward (+flipped half) -> decode -> poses."""
+def make_infer_fn(model, variables, pp: PostProcessor, flip_test: bool,
+                  mesh=None):
+    """One jitted program: forward (+flipped half) -> decode -> poses.
 
-    @jax.jit
-    def infer(images):
+    With a `mesh`, the whole pipeline runs under `shard_map` over the `data`
+    axis: each chip processes its batch shard independently (eval BatchNorm
+    uses running stats, and the Pallas grouping kernel -- a custom call XLA
+    cannot auto-partition -- executes per shard)."""
+
+    def body(images):
         if flip_test:
             images = jnp.concatenate([images, jnp.flip(images, axis=2)],
                                      axis=0)
         preds = model.apply(variables, images, train=False)
         return pp._decode_body(preds, flip_test=flip_test)
 
-    return infer
+    if mesh is None:
+        return jax.jit(body)
+
+    from jax.sharding import PartitionSpec as P
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=P('data'),
+                            out_specs=(P('data'), P('data'), P('data')),
+                            check_vma=False)
+    return jax.jit(sharded)
 
 
 def poses_to_coco_results(poses: np.ndarray, image_id: int) -> List[Dict]:

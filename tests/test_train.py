@@ -97,3 +97,31 @@ def test_sharded_train_step_runs(rng):
         state, metrics = step(state, images, targets, mask)
     assert np.isfinite(float(metrics['total']))
     assert int(state.step) == 1
+
+
+def test_sharded_inference_decode(rng):
+    """Forward+decode under shard_map over the data axis (multi-chip eval)."""
+    n_dev = jax.device_count()
+    if n_dev < 2:
+        pytest.skip('needs multi-device host platform')
+    from offsetguided_tpu.config.defaults import DecoderConfig
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval.harness import make_infer_fn
+    from offsetguided_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh(n_dev, 1)
+    cfg, model = tiny_model()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    pp = PostProcessor(cfg=DecoderConfig(topk=4, max_poses=4))
+    infer = make_infer_fn(model, variables, pp, flip_test=False, mesh=mesh)
+    images = jax.device_put(
+        jnp.asarray(rng.rand(n_dev * 2, 32, 32, 3).astype(np.float32)),
+        batch_sharding(mesh))
+    with mesh:
+        poses, scores, counts = infer(images)
+    assert poses.shape == (n_dev * 2, 4, 17, 6)
+    # shard-independent decode == single-device decode
+    single = make_infer_fn(model, variables, pp, flip_test=False)
+    p2, s2, c2 = single(jax.device_put(images, jax.devices()[0]))
+    np.testing.assert_allclose(np.asarray(poses), np.asarray(p2), atol=1e-4)
