@@ -81,7 +81,9 @@ def joint_dets(hmps: jax.Array, k: int, nms_kernel: int = 3):
     return topk_channel(hmp_nms(hmps, nms_kernel), k)
 
 
-def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2):
+def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2,
+                             use_pallas: bool = False,
+                             pallas_interpret: bool = False):
     """Exact top-k over NMS output via a block-max pre-reduction.
 
     After 3x3 peak NMS no two surviving peaks can occupy the same 2x2 block
@@ -102,8 +104,17 @@ def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2):
         scores, -jnp.inf, jax.lax.max,
         window_dimensions=(1, block, block, 1),
         window_strides=(1, block, block, 1), padding='VALID')
-    bflat = bvals.transpose(0, 3, 1, 2).reshape(n, c, hb * wb)
-    topv, topb = _topk_segmented(bflat, k)
+    if use_pallas:
+        # iterative extraction kernel: NMS output is sparse, k rounds of
+        # (max, argmin-index, mask) beat any sort (ops/pallas/topk_pallas.py)
+        from .pallas.topk_pallas import topk_pallas
+        bt = bvals.transpose(0, 3, 1, 2).reshape(n * c, hb, wb)
+        topv, topb = topk_pallas(bt, k, interpret=pallas_interpret)
+        topv = topv.reshape(n, c, k)
+        topb = topb.reshape(n, c, k)
+    else:
+        bflat = bvals.transpose(0, 3, 1, 2).reshape(n, c, hb * wb)
+        topv, topb = _topk_segmented(bflat, k)
     topb = topb.astype(jnp.int32)
     by, bx = topb // wb, topb % wb                       # (N, C, K)
     ys0, xs0 = by * block, bx * block
@@ -401,7 +412,11 @@ def collect_limbs_peak_sampled(
     # recompute the interpolation once per window tap
     hmp_up = jax.lax.optimization_barrier(hmp_up)
     nmsed = jax.lax.optimization_barrier(hmp_nms(hmp_up, cfg.nms_kernel))
-    scores, inds, ys, xs = topk_channel_blockreduce(nmsed, k)
+    use_pallas_topk = (cfg.pallas_grouping == 'on'
+                       or (cfg.pallas_grouping == 'auto'
+                           and jax.default_backend() == 'tpu'))
+    scores, inds, ys, xs = topk_channel_blockreduce(
+        nmsed, k, use_pallas=use_pallas_topk)
 
     def channel_dets(jtypes):
         s = jnp.take(scores, jtypes, axis=1)

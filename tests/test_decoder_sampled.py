@@ -71,3 +71,25 @@ def test_topk_segmented_exact(rng):
     v2, i2 = _topk_segmented(x, 16)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=0)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_topk_pallas_interpret_matches(rng):
+    from offsetguided_tpu.ops.pallas.topk_pallas import topk_pallas
+    import jax
+    x = np.zeros((6, 16, 24), np.float32)
+    m = rng.rand(*x.shape) < 0.05
+    x[m] = rng.rand(m.sum()).astype(np.float32)
+    v, i = topk_pallas(jnp.asarray(x), 5, interpret=True)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(x).reshape(6, -1), 5)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=0)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_blockreduce_pallas_path_interpret(rng):
+    x = rng.rand(2, 16, 20, 5).astype(np.float32)
+    nmsed = dec.hmp_nms(jnp.asarray(x))
+    s1, i1, y1, x1 = dec.topk_channel_blockreduce(nmsed, 6)
+    s2, i2, y2, x2 = dec.topk_channel_blockreduce(nmsed, 6, use_pallas=True,
+                                                  pallas_interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
