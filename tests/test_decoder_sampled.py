@@ -93,3 +93,15 @@ def test_blockreduce_pallas_path_interpret(rng):
                                                   pallas_interpret=True)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_nms_topk_interpret(rng):
+    from offsetguided_tpu.ops.pallas.nms_topk_pallas import nms_topk_pallas
+    import jax
+    x = rng.rand(4, 24, 32).astype(np.float32)
+    v, i = nms_topk_pallas(jnp.asarray(x), 6, interpret=True)
+    nhwc = jnp.asarray(x[:, :, :, None])
+    nm = np.asarray(dec.hmp_nms(nhwc))[:, :, :, 0].reshape(4, -1)
+    v_ref, i_ref = jax.lax.top_k(jnp.asarray(nm), 6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
