@@ -1,0 +1,96 @@
+"""Utils, visualization, and remaining loss-variant coverage."""
+import json
+import logging
+
+import numpy as np
+import matplotlib
+
+matplotlib.use('Agg')
+
+import jax.numpy as jnp
+
+from offsetguided_tpu.utils import (AverageMeter, StageTimer, Throughput,
+                                    configure, log_record)
+
+
+def test_average_meter():
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0, n=3)
+    assert m.val == 4.0
+    assert abs(m.avg - 3.5) < 1e-9
+    m.reset()
+    assert m.count == 0
+
+
+def test_throughput_meter():
+    t = Throughput(skip_first=1)
+    t.tick(8)
+    t.tick(8)
+    assert t.rate >= 0.0
+
+
+def test_stage_timer():
+    st = StageTimer()
+    with st.stage('a'):
+        pass
+    with st.stage('a'):
+        pass
+    s = st.summary()
+    assert s['a']['total_s'] >= 0 and 'mean_ms' in s['a']
+
+
+def test_json_logging(tmp_path):
+    logf = tmp_path / 'log.jsonl'
+    logger = configure(str(logf), stdout=False)
+    log_record(logging.getLogger('x'), 'hello', epoch=3, loss=1.25)
+    for h in logger.handlers:
+        h.flush()
+    rec = json.loads(logf.read_text().strip().splitlines()[-1])
+    assert rec['message'] == 'hello'
+    assert rec['epoch'] == 3 and rec['loss'] == 1.25
+
+
+def test_visualization_painter(tmp_path):
+    from offsetguided_tpu.visualization import (KeypointPainter, canvas,
+                                                draw_limb_offset,
+                                                heatmap_overlay, image_canvas)
+    rng = np.random.RandomState(0)
+    img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+    poses = np.zeros((2, 17, 6))
+    poses[:, :, 0] = rng.rand(2, 17) * 60
+    poses[:, :, 1] = rng.rand(2, 17) * 60
+    poses[:, :, 2] = 0.8
+    painter = KeypointPainter()
+    out = tmp_path / 'p.png'
+    with image_canvas(img, str(out)) as ax:
+        painter.keypoints(ax, poses, scores=[0.9, 0.7])
+    assert out.exists() and out.stat().st_size > 0
+    omp = rng.randn(16, 16, 38).astype(np.float32)
+    omp[:4] = np.inf  # unlabeled region must be skipped
+    with canvas(str(tmp_path / 'q.png')) as ax:
+        heatmap_overlay(ax, img, rng.rand(64, 64, 17))
+        draw_limb_offset(ax, omp, limb=3)
+
+
+def test_laplace_offset_loss(rng):
+    from offsetguided_tpu.config.defaults import LossConfig
+    from offsetguided_tpu.ops.losses import offset_elems
+    n, h, w, L = 1, 6, 6, 19
+    pred = jnp.asarray(rng.randn(n, h, w, 2 * L).astype(np.float32))
+    gt = jnp.asarray(rng.randn(n, h, w, 2 * L).astype(np.float32))
+    spread = jnp.asarray(rng.randn(n, h, w, L).astype(np.float32))
+    mask = jnp.ones((n, h, w, 1), bool)
+    elems, valid = offset_elems('offset_laplace', pred, gt, None, spread, mask)
+    assert elems.shape == (n, h, w, L)
+    # laplace loss: logb + norm * exp(-logb)
+    d = (np.asarray(pred) - np.asarray(gt)).reshape(n, h, w, L, 2)
+    norm = np.linalg.norm(d, axis=-1)
+    want = np.asarray(spread) + norm * np.exp(-np.asarray(spread))
+    np.testing.assert_allclose(np.asarray(elems), want, rtol=1e-5, atol=1e-6)
+
+
+def test_native_build_script_exists():
+    import os
+    assert os.path.exists('native/rle.cpp')
+    assert os.path.exists('native/build.sh')
