@@ -298,6 +298,38 @@ def normalize_image(image: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------- #
+# combinators (transforms/compose.py, random.py, multi_scale.py)
+# --------------------------------------------------------------------------- #
+
+def compose(*fns):
+    """Chain transforms of signature (image, anns, meta, mask) -> same tuple
+    (reference transforms/compose.py)."""
+    def run(image, anns, meta, mask_miss=None):
+        for f in fns:
+            image, anns, meta, mask_miss = f(image, anns, meta, mask_miss)
+        return image, anns, meta, mask_miss
+    return run
+
+
+def random_apply(fn, prob: float, rng: np.random.RandomState):
+    """Apply `fn` with probability `prob` (reference transforms/random.py)."""
+    def run(image, anns, meta, mask_miss=None):
+        if rng.rand() < prob:
+            return fn(image, anns, meta, mask_miss)
+        return image, anns, meta, mask_miss
+    return run
+
+
+def multi_scale(*pipelines):
+    """Fan one sample out to N preprocess pipelines
+    (reference transforms/multi_scale.py:4-24; unused by reference entry
+    points, provided for capability parity)."""
+    def run(image, anns, meta, mask_miss=None):
+        return [p(image, anns, meta, mask_miss) for p in pipelines]
+    return run
+
+
+# --------------------------------------------------------------------------- #
 # inverse transforms (transforms/preprocess.py:16-63)
 # --------------------------------------------------------------------------- #
 

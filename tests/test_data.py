@@ -164,3 +164,30 @@ def test_native_rle_matches_python(rng):
     np.testing.assert_array_equal(
         rle_to_mask({'size': [31, 19],
                      'counts': rle_decode_counts(s)}), mask)
+
+
+def test_transform_combinators(rng):
+    img = (rng.rand(40, 40, 3) * 255).astype(np.uint8)
+    anns = np.zeros((1, 17, 4), np.float32)
+    anns[:, :, 2] = 2
+    meta = T.make_meta(40, 40)
+
+    def shift(image, a, m, mm):
+        a = a.copy()
+        a[:, :, 0] += 1
+        return image, a, m, mm
+
+    pipe = T.compose(shift, shift)
+    _, a2, _, _ = pipe(img, anns, meta)
+    np.testing.assert_allclose(a2[:, :, 0], anns[:, :, 0] + 2)
+
+    always = T.random_apply(shift, 1.0, rng)
+    never = T.random_apply(shift, 0.0, rng)
+    _, a3, _, _ = always(img, anns, meta)
+    _, a4, _, _ = never(img, anns, meta)
+    assert a3[0, 0, 0] == anns[0, 0, 0] + 1
+    assert a4[0, 0, 0] == anns[0, 0, 0]
+
+    fan = T.multi_scale(pipe, always)
+    outs = fan(img, anns, meta)
+    assert len(outs) == 2
