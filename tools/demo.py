@@ -28,6 +28,10 @@ def cli():
                    help='plot every candidate limb above --limb-thre '
                         '(reference demo_batch.py:241-304)')
     p.add_argument('--limb-thre', type=float, default=0.1)
+    p.add_argument('--annotation-file', default=None,
+                   help='COCO annotations: also report per-head losses '
+                        'against GT (reference demo_batch.py computes val '
+                        'losses)')
     return p.parse_args()
 
 
@@ -72,13 +76,48 @@ def main():
         preds = model.apply(variables, images, train=False)
         return preds, pp._decode_body(preds, flip_test=args.flip_test)
 
+    coco = None
+    if args.annotation_file:
+        from offsetguided_tpu.data.coco import CocoJson
+        coco = CocoJson(args.annotation_file)
+        name_to_id = {coco.image_info(i)['file_name']: i
+                      for i in coco.image_ids()}
+
     for path in args.images:
         raw = cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
-        img, _, meta = preprocess_eval(
-            raw, np.zeros((0, 17, 4), np.float32), eval_cfg)
+        gt_anns = np.zeros((0, 17, 4), np.float32)
+        if coco is not None:
+            img_id = name_to_id.get(os.path.basename(path))
+            if img_id is not None:
+                gt_anns = T.normalize_annotations(
+                    coco.anns_for_image(img_id), skeleton.sigmas)
+        img, anns_s, meta = preprocess_eval(raw, gt_anns, eval_cfg)
         preds, (poses, scores, counts) = infer(jnp.asarray(img[None]))
         n = int(counts[0])
-        inv = T.annotations_inverse(np.asarray(poses[0]), meta)[:n]
+        valid_rows = np.asarray(poses[0])[:n]
+        inv = T.annotations_inverse(valid_rows, meta)
+
+        if coco is not None and len(anns_s):
+            # per-head losses vs GT (reference demo_batch computes val losses)
+            from offsetguided_tpu.config.defaults import (EncoderConfig,
+                                                          LossConfig)
+            from offsetguided_tpu.ops.encoder import encode_targets
+            from offsetguided_tpu.ops.losses import compute_losses
+            enc = EncoderConfig(max_persons=32)
+            padded = np.zeros((1, enc.max_persons, 17, 4), np.float32)
+            padded[0, :min(len(anns_s), enc.max_persons)] = \
+                anns_s[:enc.max_persons]
+            hw = img.shape[0] // enc.stride, img.shape[1] // enc.stride
+            t = encode_targets(jnp.asarray(padded),
+                               np.asarray(skeleton.sigmas),
+                               skeleton.skeleton, hw[0], hw[1], enc)
+            mask = jnp.ones((1, hw[0], hw[1], 1), bool)
+            single = {k: [v[-1][:1] if v[-1] is not None else None]
+                      for k, v in preds.items()}
+            losses = compute_losses(single, t, mask,
+                                    LossConfig(stack_weights=(1.0,)))
+            print('  losses:', {k: round(float(v), 5)
+                                for k, v in losses.items()})
         base = os.path.join(args.output_dir,
                             os.path.splitext(os.path.basename(path))[0])
         with image_canvas(raw, base + '.poses.png') as ax:
