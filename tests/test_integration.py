@@ -250,3 +250,18 @@ def test_demo_tool_smoke(coco_dir, tmp_path, monkeypatch):
         sys.argv = argv_backup
     outs = list(tmp_path.iterdir())
     assert any(p.name.endswith('.poses.png') for p in outs)
+
+
+def test_export_tool_smoke(tmp_path):
+    import sys
+    sys.path.insert(0, 'tools')
+    import importlib
+    ex = importlib.import_module('export')
+    out = tmp_path / 'model.stablehlo'
+    ex.main(['--debug-tiny-model', '--input-size', '64',
+             '--output', str(out)])
+    assert out.exists() and out.stat().st_size > 1000
+    # the exported artifact deserializes and can be invoked
+    import jax
+    exported = jax.export.deserialize(out.read_bytes())
+    assert exported is not None
