@@ -84,9 +84,9 @@ def main(argv=None):
         cost = lowered.compile().cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = cost.get('flops', float('nan'))
-        print(f'XLA cost analysis: {flops / 1e9:.2f} GFLOPs @ '
-              f'{args.batch_size}x{s}x{s} '
-              f'(reference Hourglass-104: 234.5 G @512^2)')
+        print(f'XLA cost analysis: {flops / 1e9:.2f} GFLOPs '
+              f'({flops / 2e9:.2f} GMACs) @ {args.batch_size}x{s}x{s} '
+              f'(reference thop count, which tallies MACs: 234.5 G @512^2)')
     except Exception as e:  # cost analysis is backend-dependent
         print(f'cost analysis unavailable: {e}')
 
