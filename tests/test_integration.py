@@ -265,3 +265,24 @@ def test_export_tool_smoke(tmp_path):
     import jax
     exported = jax.export.deserialize(out.read_bytes())
     assert exported is not None
+
+
+def test_simulate_tool_smoke(coco_dir, capsys):
+    import sys
+    sys.path.insert(0, 'tools')
+    import importlib
+    sim = importlib.import_module('simulate')
+    img_dir, ann_file = coco_dir
+    argv_backup = sys.argv
+    sys.argv = ['simulate.py', '--image-dir', img_dir,
+                '--annotation-file', ann_file, '--long-edge', '160',
+                '--topk', '8', '--dist-max', '20']
+    try:
+        sim.main()
+    finally:
+        sys.argv = argv_backup
+    out = capsys.readouterr().out
+    assert 'AP:' in out
+    ap = float([l for l in out.splitlines() if l.startswith('AP:')][0]
+               .split(':')[1])
+    assert ap > 0.8, out
