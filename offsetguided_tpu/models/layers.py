@@ -58,10 +58,6 @@ class BasicResidual(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bn_momentum: float = 0.9
 
-    def _bn(self):
-        return nn.BatchNorm(use_running_average=None, momentum=self.bn_momentum,
-                            dtype=jnp.float32, param_dtype=self.param_dtype)
-
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = (lambda v: nn.leaky_relu(v, self.leaky)) if self.leaky else nn.relu
