@@ -99,7 +99,16 @@ class DecoderConfig:
     feat_stage: int = -1              # which stack's predictions to decode
     nms_kernel: int = 3               # peak NMS window
     max_poses: int = 40               # fixed-shape capacity of the grouped output
+    # fixed-shape capacity of *intermediate* skeleton rows during grouping.
+    # The reference grows its subset list unboundedly (decoder/group.py:166-177);
+    # here limbs that would start a new skeleton once all rows are occupied are
+    # dropped (lowest-scored candidates, since limbs are processed in score
+    # order) -- see tests/test_grouping_overflow.py for measured behavior.
+    capacity: int = 64
     upsampled_decode: bool = True     # decode at input resolution (reference parity)
+    # heatmap-score-weighted local averaging of guiding offsets before limb
+    # collection (reference opt-in: decoder/factory.py:70-72, offset.py:8-43)
+    scored_offset: bool = False
     # 'auto': single fused Pallas grouping kernel on TPU, XLA elsewhere
     pallas_grouping: str = 'auto'     # 'auto' | 'on' | 'off'
 

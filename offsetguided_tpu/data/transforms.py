@@ -111,6 +111,13 @@ def rescale_high_absolute(image, anns, meta, height_edge: int):
     return _scale_to(image, anns, meta, int(w * s), int(height_edge))
 
 
+def rescale_relative(image, anns, meta, scale_factor: float):
+    """Resize by a relative factor (transforms/scale.py:124-136)."""
+    h, w = image.shape[:2]
+    return _scale_to(image, anns, meta,
+                     int(w * scale_factor), int(h * scale_factor))
+
+
 def center_pad(image, anns, meta, target_size: int):
     """Pad centered to (target, target) (transforms/pad.py:13-62)."""
     h, w = image.shape[:2]
@@ -130,6 +137,11 @@ def center_pad(image, anns, meta, target_size: int):
     va[:2] += np.array([left, top])
     meta['valid_area'] = va
     return image, anns, meta
+
+
+def square_pad(image, anns, meta):
+    """Center-pad to a square of the longer edge (transforms/pad.py:63-70)."""
+    return center_pad(image, anns, meta, max(image.shape[:2]))
 
 
 def rightdown_pad(image, anns, meta, max_stride: int):

@@ -121,6 +121,11 @@ class PostProcessor:
         jomp, scmp = maps['jomp'], maps['scmp']
         if not cfg.use_jitter_offset:
             jomp = None
+        if cfg.scored_offset:
+            # heatmap-weighted offset refinement at stride resolution, before
+            # any upsampling (reference decoder/factory.py:70-72, kernel 3)
+            omp = dec_ops.scored_offset(hmp, omp, np.asarray(self._jf),
+                                        kernel_size=3)
 
         if cfg.upsampled_decode:
             # only heatmaps are physically upsampled (peak finding needs the
@@ -158,11 +163,13 @@ class PostProcessor:
             from ..ops.pallas.grouping_pallas import group_skeletons_pallas
             poses, scores, counts = group_skeletons_pallas(
                 packed, tuple(zip(self._jf, self._jt)), cfg,
-                n_keypoints=self.skeleton.n_keypoints)
+                n_keypoints=self.skeleton.n_keypoints,
+                capacity=cfg.capacity)
         else:
             poses, scores, counts = grouping.group_skeletons(
                 packed, tuple(zip(self._jf, self._jt)), cfg,
-                n_keypoints=self.skeleton.n_keypoints)
+                n_keypoints=self.skeleton.n_keypoints,
+                capacity=cfg.capacity)
         return poses, scores, counts
 
     def _apply_jitter_lowres(self, packed, jomp, limbs):

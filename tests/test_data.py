@@ -109,6 +109,26 @@ def test_fixed_height_roundtrip(rng):
     np.testing.assert_allclose(rec[:, :, :2], orig[:, :, :2], atol=1e-4)
 
 
+def test_rescale_relative_square_pad_roundtrip(rng):
+    """rescale_relative + square_pad (reference transforms/scale.py:124-136,
+    pad.py:63-70) invert exactly through annotations_inverse."""
+    img = (rng.rand(100, 150, 3) * 255).astype(np.uint8)
+    anns = np.zeros((2, 17, 4), np.float32)
+    anns[:, :, 0] = rng.rand(2, 17) * 150
+    anns[:, :, 1] = rng.rand(2, 17) * 100
+    anns[:, :, 2] = 2
+    anns[:, :, 3] = 5.0
+    meta = T.make_meta(150, 100)
+    orig = anns.copy()
+    img2, anns2, meta2 = T.rescale_relative(img, anns, meta, 0.5)
+    assert img2.shape == (50, 75, 3)
+    img3, anns3, meta3 = T.square_pad(img2, anns2, meta2)
+    assert img3.shape[0] == img3.shape[1] == 75
+    rec = T.annotations_inverse(anns3, meta3)
+    np.testing.assert_allclose(rec[:, :, :2], orig[:, :, :2], atol=1e-4)
+    np.testing.assert_allclose(rec[:, :, 3], orig[:, :, 3], atol=1e-4)
+
+
 def test_warp_affine_inverse_roundtrip(rng):
     img = (rng.rand(120, 160, 3) * 255).astype(np.uint8)
     anns = np.zeros((2, 17, 4), np.float32)

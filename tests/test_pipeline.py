@@ -76,6 +76,30 @@ def test_decode_modes_run(rng):
         assert np.all(np.diff(sc, axis=1) <= 1e-6)
 
 
+def test_scored_offset_pipeline(rng):
+    """scored_offset=True runs end to end and actually changes the decode
+    (reference opt-in path: decoder/factory.py:70-72 + offset.py:8-43)."""
+    preds = make_preds(rng)
+    base = PostProcessor(cfg=DecoderConfig(topk=6, max_poses=8))
+    refined = PostProcessor(cfg=DecoderConfig(topk=6, max_poses=8,
+                                              scored_offset=True))
+    p0, s0, _ = base.decode(preds)
+    p1, s1, _ = refined.decode(preds)
+    assert p1.shape == p0.shape
+    # the weighted averaging perturbs guiding offsets, so some limb pairing
+    # (and hence pose output) must differ on random maps
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+    # refinement must also agree with applying the op manually upfront
+    from offsetguided_tpu.ops import decoder as dec
+    jf = np.asarray(base._jf)
+    omp_ref = dec.scored_offset(preds['hmp'][0], preds['omp'][0], jf, 3)
+    manual = dict(preds)
+    manual['omp'] = [omp_ref]
+    p2, s2, _ = base.decode(manual)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+
+
 def test_decode_crowdpose_skeleton(rng):
     sk = SkeletonConfig.crowdpose()
     n, h, w = 1, 8, 8

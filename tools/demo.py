@@ -32,6 +32,9 @@ def cli():
                    help='COCO annotations: also report per-head losses '
                         'against GT (reference demo_batch.py computes val '
                         'losses)')
+    p.add_argument('--scored-offset', action='store_true',
+                   help='heatmap-weighted offset refinement before limb '
+                        'collection (reference decoder/factory.py:70-72)')
     return p.parse_args()
 
 
@@ -63,7 +66,8 @@ def main():
                                            drop_optimizer=True)
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
 
-    pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig())
+    pp = PostProcessor(skeleton=skeleton,
+                       cfg=DecoderConfig(scored_offset=args.scored_offset))
     eval_cfg = EvalConfig(long_edge=args.long_edge, flip_test=args.flip_test,
                           batch_size=1)
     os.makedirs(args.output_dir, exist_ok=True)

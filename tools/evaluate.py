@@ -34,10 +34,16 @@ def cli():
     p.add_argument('--person-thre', type=float, default=0.06)
     p.add_argument('--lowres-decode', action='store_true',
                    help='decode at stride resolution (fast path)')
+    p.add_argument('--scored-offset', action='store_true',
+                   help='heatmap-weighted offset refinement before limb '
+                        'collection (reference decoder/factory.py:70-72)')
     p.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
     p.add_argument('--all-images', action='store_true',
                    help='include images without annotations (test-dev)')
     p.add_argument('--results-json', default=None)
+    p.add_argument('--debug-tiny-model', action='store_true',
+                   help='narrow random-weight backbone: exercises the full '
+                        'eval pipeline quickly (CI / smoke use)')
     return p.parse_args()
 
 
@@ -54,8 +60,14 @@ def main():
     skeleton = (SkeletonConfig.crowdpose() if args.dataset == 'crowdpose'
                 else SkeletonConfig())
     from offsetguided_tpu.config.defaults import HeadsConfig
-    model_cfg = ModelConfig(heads=HeadsConfig(
-        n_keypoints=skeleton.n_keypoints, n_limbs=skeleton.n_limbs))
+    heads = HeadsConfig(n_keypoints=skeleton.n_keypoints,
+                        n_limbs=skeleton.n_limbs)
+    if args.debug_tiny_model:
+        model_cfg = ModelConfig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                                modules=(1, 1, 1), cnv_dim=8,
+                                compute_dtype='float32', heads=heads)
+    else:
+        model_cfg = ModelConfig(heads=heads)
     model = PoseNet(model_cfg)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 128, 128, 3)), train=False)
@@ -76,7 +88,8 @@ def main():
     pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig(
         topk=args.topk, thre_hmp=args.thre_hmp, dist_max=args.dist_max,
         person_thre=args.person_thre,
-        upsampled_decode=not args.lowres_decode))
+        upsampled_decode=not args.lowres_decode,
+        scored_offset=args.scored_offset))
     eval_cfg = EvalConfig(long_edge=args.long_edge,
                           fixed_height=args.fixed_height,
                           flip_test=args.flip_test,
