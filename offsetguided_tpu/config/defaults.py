@@ -143,6 +143,10 @@ class ModelConfig:
     compute_dtype: str = 'bfloat16'
     param_dtype: str = 'float32'
     bn_momentum: float = 0.9
+    # run the 7x7 s2 stem in the space-to-depth domain (exactly equivalent
+    # math, 4x the MXU contraction depth on the 3-channel input; measured 8%
+    # MFU dense vs near-roofline s2d on v5e). Params are unaffected.
+    stem_s2d: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,6 +211,9 @@ class EvalConfig:
     long_edge: int = 640
     fixed_height: bool = False        # RescaleHighAbsolute+RightDownPad path
     max_stride: int = 128             # padding multiple for fixed-height mode
+    # fixed-height width padding bucket (multiple of max_stride): caps the
+    # number of distinct jit compilations per epoch at max_width/width_bucket
+    width_bucket: int = 256
     flip_test: bool = True
     batch_size: int = 8
     cat_flip_offsets: bool = False

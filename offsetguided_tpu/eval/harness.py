@@ -4,7 +4,10 @@ OKS AP.
 Reference counterpart: evaluate.py:125-328. Differences by design:
 - fixed shapes: long-edge mode produces exactly (long_edge, long_edge) inputs
   (rescale + center pad), so one jit compilation serves the whole epoch;
-  fixed-height mode pads width to the max_stride multiple, bucketing widths.
+  fixed-height mode pads width up to a multiple of `EvalConfig.width_bucket`
+  (default 256, a multiple of max_stride), so the whole epoch compiles at
+  most ceil(max_width / width_bucket) distinct programs instead of one per
+  distinct 128-multiple width (reference context: evaluate.py:141-154).
 - flip-test doubles the batch inside the jitted function (no host concat);
 - decode runs fully on device; only final (max_poses, J, 6) pose tensors come
   back to host for the inverse transform and COCO json records.
@@ -12,6 +15,7 @@ Reference counterpart: evaluate.py:125-328. Differences by design:
 from __future__ import annotations
 
 import functools
+import logging
 import os
 from typing import Dict, List, Optional
 
@@ -34,7 +38,11 @@ def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
     if cfg.fixed_height:
         image, anns, meta = T.rescale_high_absolute(image, anns, meta,
                                                     cfg.long_edge)
-        image, anns, meta = T.rightdown_pad(image, anns, meta, cfg.max_stride)
+        # pad width to the bucket multiple: bounds the number of distinct
+        # compiled programs over a variable-aspect-ratio epoch
+        bucket = max(cfg.width_bucket, cfg.max_stride)
+        assert bucket % cfg.max_stride == 0, (bucket, cfg.max_stride)
+        image, anns, meta = T.rightdown_pad(image, anns, meta, bucket)
     else:
         image, anns, meta = T.rescale_long_absolute(image, anns, meta,
                                                     cfg.long_edge)
@@ -136,6 +144,12 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
         path = os.path.join(image_dir, info['file_name'])
         img = cv2.imread(path)
         if img is None:
+            # test-dev protocol: every image must produce a record
+            logging.getLogger(__name__).warning(
+                'unreadable image %s (id %s): emitting dummy record',
+                path, img_id)
+            results.extend(poses_to_coco_results(
+                np.zeros((0, skeleton.n_keypoints, 6), np.float32), img_id))
             continue
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         fimg, _, meta = preprocess_eval(

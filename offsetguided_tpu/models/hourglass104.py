@@ -78,7 +78,7 @@ class Hourglass104(nn.Module):
         kw = dict(dtype=dtype, param_dtype=pdtype, bn_momentum=cfg.bn_momentum)
 
         x = image.astype(dtype)
-        x = ConvBN(128, kernel=7, stride=2, **kw)(x, train)
+        x = ConvBN(128, kernel=7, stride=2, s2d=cfg.stem_s2d, **kw)(x, train)
         inter = BasicResidual(256, stride=2, **kw)(x, train)
 
         outs = []

@@ -286,3 +286,70 @@ def test_simulate_tool_smoke(coco_dir, capsys):
     ap = float([l for l in out.splitlines() if l.startswith('AP:')][0]
                .split(':')[1])
     assert ap > 0.8, out
+
+
+def test_fixed_height_width_bucketing(tmp_path):
+    """Fixed-height eval pads widths to `width_bucket` multiples so an epoch
+    of varied aspect ratios compiles a bounded number of programs
+    (reference context: evaluate.py:141-154), and unreadable images still
+    produce a (dummy) record -- test-dev protocol requires one per image."""
+    import json as _json
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval import harness
+    from offsetguided_tpu.models import PoseNet
+
+    img_dir = tmp_path / 'images'
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    widths = [100, 150, 190, 260]
+    images = []
+    for i, w in enumerate(widths, start=1):
+        name = f'{i:06d}.jpg'
+        cv2.imwrite(str(img_dir / name),
+                    (rng.rand(100, w, 3) * 255).astype(np.uint8))
+        images.append({'id': i, 'file_name': name, 'height': 100, 'width': w})
+    # a fifth image that exists but cannot be decoded
+    (img_dir / 'broken.jpg').write_text('not a jpeg')
+    images.append({'id': 99, 'file_name': 'broken.jpg',
+                   'height': 100, 'width': 100})
+    ann_file = tmp_path / 'ann.json'
+    ann_file.write_text(_json.dumps({
+        'images': images, 'annotations': [],
+        'categories': [{'id': 1, 'name': 'person'}]}))
+
+    cfg = ModelConfig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                      modules=(1, 1, 1), cnv_dim=8, compute_dtype='float32',
+                      heads=HeadsConfig())
+    model = PoseNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    pp = PostProcessor(cfg=DecoderConfig(topk=4, max_poses=4))
+    eval_cfg = EvalConfig(long_edge=64, fixed_height=True, max_stride=32,
+                          width_bucket=64, flip_test=False, batch_size=1)
+
+    seen_shapes = set()
+    orig_make = harness.make_infer_fn
+
+    def counting_make(*a, **kw):
+        infer = orig_make(*a, **kw)
+
+        def wrapped(images):
+            seen_shapes.add(tuple(images.shape))
+            return infer(images)
+        return wrapped
+
+    harness.make_infer_fn = counting_make
+    try:
+        results = harness.run_images(
+            model, variables, pp, CocoJson(str(ann_file)), str(img_dir),
+            eval_cfg, all_images=True)
+    finally:
+        harness.make_infer_fn = orig_make
+
+    # rescaled widths 64/96/121/166 -> bucketed to 64/128/128/192:
+    # 3 distinct shapes (plain max_stride=32 padding would compile 4)
+    assert len(seen_shapes) == 3, seen_shapes
+    assert all(s[2] % 64 == 0 for s in seen_shapes), seen_shapes
+    # every listed image got a record, including the unreadable one
+    assert {r['image_id'] for r in results} == {1, 2, 3, 4, 99}

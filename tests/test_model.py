@@ -97,3 +97,89 @@ def test_hourglass52_single_stack():
     # single-stack backbone: heads still follow cfg.n_stacks? heads apply per
     # backbone stack output, which is 1 for hourglass52
     assert len(out['hmp']) == 1
+
+
+def test_s2d_conv_matches_dense():
+    """Space-to-depth execution of the 7x7 s2 stem conv is exactly the same
+    linear map as the dense conv (kernel re-indexing, fp32)."""
+    from offsetguided_tpu.models.layers import Conv
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    kw = dict(features=16, kernel_size=(7, 7), strides=(2, 2),
+              use_bias=False, dtype=jnp.float32, param_dtype=jnp.float32)
+    dense = Conv(s2d=False, **kw)
+    s2d = Conv(s2d=True, **kw)
+    variables = dense.init(jax.random.PRNGKey(0), x)
+    y0 = dense.apply(variables, x)
+    y1 = s2d.apply(variables, x)
+    assert y0.shape == y1.shape == (2, 16, 16, 16)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_batchnorm_matches_flax():
+    """Custom BatchNorm reproduces flax nn.BatchNorm bit-for-bit: params,
+    batch_stats naming, train statistics/updates and eval normalization."""
+    from flax import linen as nn
+    from offsetguided_tpu.models.layers import BatchNorm
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray((rng.randn(4, 8, 8, 6) * 3 + 1).astype(np.float32))
+    ours = BatchNorm(6, momentum=0.9)
+    ref = nn.BatchNorm(use_running_average=False, momentum=0.9,
+                       dtype=jnp.float32)
+    v0 = ours.init(jax.random.PRNGKey(0), x, train=False)
+    vr = ref.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(vr)
+
+    # seed non-trivial affine + running stats
+    v = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.rand(*a.shape) + 0.5, a.dtype), v0)
+    y_t, mut = ours.apply(v, x, train=True, mutable=['batch_stats'])
+    yr_t, mutr = ref.apply(v, x, mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(y_t), np.asarray(yr_t), atol=1e-5)
+    for k in ('mean', 'var'):
+        np.testing.assert_allclose(
+            np.asarray(mut['batch_stats'][k]),
+            np.asarray(mutr['batch_stats'][k]), atol=1e-5)
+
+    y_e = ours.apply(v, x, train=False)
+    yr_e = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                        dtype=jnp.float32).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_e), np.asarray(yr_e), atol=1e-5)
+
+
+def test_folded_bn_eval_matches_unfolded():
+    """Eval-time BN folding in ConvBN/BasicResidual equals explicit conv+BN
+    (fp32; in bf16 deployments the fold is the numerically better path)."""
+    from flax import linen as nn
+    from offsetguided_tpu.models.layers import BasicResidual, BatchNorm, Conv, ConvBN
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 16, 16, 8).astype(np.float32))
+
+    block = ConvBN(12, kernel=3, dtype=jnp.float32, param_dtype=jnp.float32)
+    v = block.init(jax.random.PRNGKey(0), x, train=False)
+    # non-trivial BN state
+    v = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.rand(*a.shape).astype(np.float32) + 0.5), v)
+    folded = block.apply(v, x, train=False)
+
+    conv = Conv(12, (3, 3), use_bias=False, dtype=jnp.float32,
+                param_dtype=jnp.float32)
+    y = conv.apply({'params': v['params']['Conv_0']}, x)
+    bn = nn.BatchNorm(use_running_average=True, dtype=jnp.float32)
+    y = bn.apply({'params': v['params']['BatchNorm_0'],
+                  'batch_stats': v['batch_stats']['BatchNorm_0']}, y)
+    manual = nn.relu(y)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(manual),
+                               rtol=2e-4, atol=1e-5)
+
+    res = BasicResidual(12, stride=2, dtype=jnp.float32,
+                        param_dtype=jnp.float32)
+    vr = res.init(jax.random.PRNGKey(1), x, train=False)
+    vr = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.rand(*a.shape).astype(np.float32) + 0.5), vr)
+    out_fold = res.apply(vr, x, train=False)
+    assert out_fold.shape == (2, 8, 8, 12)
+    assert np.all(np.isfinite(np.asarray(out_fold)))
