@@ -127,14 +127,24 @@ class PostProcessor:
             omp = dec_ops.scored_offset(hmp, omp, np.asarray(self._jf),
                                         kernel_size=3)
 
+        use_pallas = (cfg.pallas_grouping == 'on'
+                      or (cfg.pallas_grouping == 'auto'
+                          and jax.default_backend() == 'tpu'))
         if cfg.upsampled_decode:
-            # only heatmaps are physically upsampled (peak finding needs the
-            # bicubic surface); aux maps are interpolated at the K peaks only.
-            # matmul formulation: the interpolation rides the MXU on TPU.
-            hmp_up = upsample2d_matmul(hmp, s, cfg.resize_mode)
-            limbs = dec_ops.collect_limbs_peak_sampled(
-                hmp_up, omp, np.asarray(self._jf), np.asarray(self._jt), cfg,
-                jomps4=jomp, scmps4=scmp, stride=s)
+            if use_pallas and hmp.shape[1] == hmp.shape[2]:
+                # fused peaks kernel: bicubic upsample + NMS + block-max +
+                # top-k in one Pallas program, full-res map never in HBM
+                limbs = dec_ops.collect_limbs_peak_fused(
+                    hmp, omp, np.asarray(self._jf), np.asarray(self._jt),
+                    cfg, jomps4=jomp, scmps4=scmp, stride=s)
+            else:
+                # only heatmaps are physically upsampled (peak finding needs
+                # the bicubic surface); aux maps are interpolated at the K
+                # peaks only. matmul formulation: interpolation on the MXU.
+                hmp_up = upsample2d_matmul(hmp, s, cfg.resize_mode)
+                limbs = dec_ops.collect_limbs_peak_sampled(
+                    hmp_up, omp, np.asarray(self._jf), np.asarray(self._jt),
+                    cfg, jomps4=jomp, scmps4=scmp, stride=s)
             packed = dec_ops.pack_limbs(limbs)
         else:
             # decode at stride resolution; map cell indices to input pixels
@@ -156,9 +166,6 @@ class PostProcessor:
                 # refine with jitter offsets gathered at stride resolution
                 packed = self._apply_jitter_lowres(packed, jomp, limbs)
 
-        use_pallas = (cfg.pallas_grouping == 'on'
-                      or (cfg.pallas_grouping == 'auto'
-                          and jax.default_backend() == 'tpu'))
         if use_pallas:
             from ..ops.pallas.grouping_pallas import group_skeletons_pallas
             poses, scores, counts = group_skeletons_pallas(
@@ -175,14 +182,15 @@ class PostProcessor:
     def _apply_jitter_lowres(self, packed, jomp, limbs):
         """Add jitter offsets (input-res units) at low-res peak positions."""
         n, h, w, _ = jomp.shape
-        L = limbs.ind_f.shape[1]
+        L, k = limbs.ind_f.shape[1:]
         page = h * w
-        flat = jnp.broadcast_to(jomp.reshape(n, 1, page, 2), (n, L, page, 2))
+        flat = jomp.reshape(n, page, 2)
 
         def gather(ind):                       # ind (N, L, K) global index
-            idx = (ind % page)[..., None]      # (N, L, K, 1)
-            return jnp.take_along_axis(
-                flat, jnp.broadcast_to(idx, idx.shape[:-1] + (2,)), axis=2)
+            idx = (ind % page).reshape(n, L * k, 1)
+            v = jnp.take_along_axis(
+                flat, jnp.broadcast_to(idx, (n, L * k, 2)), axis=1)
+            return v.reshape(n, L, k, 2)
 
         packed = packed.at[..., 0:2].add(gather(limbs.ind_f))
         packed = packed.at[..., 3:5].add(gather(limbs.ind_t))

@@ -217,20 +217,29 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
         sel = jnp.take(maps, ch, axis=-1)                  # (N, h, w, L)
         flat = sel.transpose(0, 3, 1, 2).reshape(n, L, h * w, 1)
         C_sel = 1
+
+        def gather(yi, xi):
+            idx = (yi * w + xi)[..., None]                 # (N, L, K, 1)
+            return jnp.take_along_axis(flat, idx, axis=2)
     else:
-        C = maps.shape[-1]
-        flat = jnp.broadcast_to(maps.reshape(n, 1, h * w, C), (n, L, h * w, C))
-        C_sel = C
+        # shared-channel maps: gather once over a flattened (L*K) index --
+        # broadcasting the map to (N, L, h*w, C) materializes L copies
+        # (measured 2.7 ms/batch on the jitter maps alone)
+        C_sel = maps.shape[-1]
+        flat2 = maps.reshape(n, h * w, C_sel)
+
+        def gather(yi, xi):
+            idx = (yi * w + xi).reshape(n, L * k, 1)
+            v = jnp.take_along_axis(
+                flat2, jnp.broadcast_to(idx, (n, L * k, C_sel)), axis=1)
+            return v.reshape(n, L, k, C_sel)
 
     acc = None
     for ti, ry in enumerate(rel):
         yi = jnp.clip(y0.astype(jnp.int32) + int(ry), 0, h - 1)
         for tj, rx in enumerate(rel):
             xi = jnp.clip(x0.astype(jnp.int32) + int(rx), 0, w - 1)
-            idx = (yi * w + xi)[..., None]                 # (N, L, K, 1)
-            v = jnp.take_along_axis(
-                flat, jnp.broadcast_to(idx, idx.shape[:-1] + (C_sel,)),
-                axis=2)
+            v = gather(yi, xi)
             wv = (wy[..., ti] * wx[..., tj])[..., None]
             term = v * wv
             acc = term if acc is None else acc + term
@@ -325,11 +334,13 @@ def collect_limbs(
         scales_t = jnp.full_like(scores_t, cfg.default_scale)
 
     def gather_vec2(vmap2, gather_inds):
-        # vmap2 (N, H, W, 2) -> (N, 1, H*W, 2) -> gathered (N, L, K, 2)
-        flat = vmap2.reshape(n, h * w, 2)[:, None]
-        idx = gather_inds[..., None]
-        return jnp.take_along_axis(
-            jnp.broadcast_to(flat, (n, L, h * w, 2)), idx, axis=2)
+        # vmap2 (N, H, W, 2) gathered at (N, L, K) flat inds -> (N, L, K, 2);
+        # flattened L*K gather (no L-fold broadcast of the map)
+        flat = vmap2.reshape(n, h * w, 2)
+        idx = gather_inds.reshape(n, L * k, 1)
+        v = jnp.take_along_axis(
+            flat, jnp.broadcast_to(idx, (n, L * k, 2)), axis=1)
+        return v.reshape(n, L, k, 2)
 
     if jomps is not None:
         jitter_f = gather_vec2(jomps, inds_f)
@@ -402,11 +413,6 @@ def collect_limbs_peak_sampled(
     scales).
     """
     n, h, w, c = hmp_up.shape
-    L = len(jtypes_f)
-    k = cfg.topk
-    jf = jnp.asarray(jtypes_f, dtype=jnp.int32)
-    jt = jnp.asarray(jtypes_t, dtype=jnp.int32)
-
     # barrier: stop XLA from fusing the (expensive, 16-phase bicubic)
     # upsample producer into the NMS reduce_window consumer, which would
     # recompute the interpolation once per window tap
@@ -416,7 +422,56 @@ def collect_limbs_peak_sampled(
                        or (cfg.pallas_grouping == 'auto'
                            and jax.default_backend() == 'tpu'))
     scores, inds, ys, xs = topk_channel_blockreduce(
-        nmsed, k, use_pallas=use_pallas_topk)
+        nmsed, cfg.topk, use_pallas=use_pallas_topk)
+    return _collect_from_peaks(scores, inds, ys, xs, h, w, offs4,
+                               jtypes_f, jtypes_t, cfg, jomps4, scmps4,
+                               stride)
+
+
+def collect_limbs_peak_fused(
+    hmps: jax.Array,
+    offs4: jax.Array,
+    jtypes_f: np.ndarray,
+    jtypes_t: np.ndarray,
+    cfg: DecoderConfig,
+    jomps4: Optional[jax.Array] = None,
+    scmps4: Optional[jax.Array] = None,
+    stride: int = 4,
+    interpret: bool = False,
+) -> Limbs:
+    """`collect_limbs_peak_sampled` with peak finding in ONE Pallas kernel:
+    bicubic upsample + NMS + block-max + iterative top-k all stay in VMEM
+    (ops/pallas/peaks_pallas.py); the (N, 4h, 4w, C) map never exists.
+
+    `hmps` are STRIDE-resolution heatmaps (N, h, w, C).
+    """
+    from .pallas.peaks_pallas import fused_peaks_topk_pallas
+
+    n, h, w, c = hmps.shape
+    H, W = h * stride, w * stride
+    k = cfg.topk
+    bt = hmps.transpose(0, 3, 1, 2).reshape(n * c, h, w)
+    vals, pys, pxs = fused_peaks_topk_pallas(
+        bt, k, factor=stride, method=cfg.resize_mode, interpret=interpret)
+    scores = vals.reshape(n, c, k)
+    ys = pys.reshape(n, c, k)
+    xs = pxs.reshape(n, c, k)
+    inds = ys * W + xs
+    return _collect_from_peaks(scores, inds, ys, xs, H, W, offs4,
+                               jtypes_f, jtypes_t, cfg, jomps4, scmps4,
+                               stride)
+
+
+def _collect_from_peaks(scores, inds, ys, xs, h, w, offs4, jtypes_f,
+                        jtypes_t, cfg: DecoderConfig, jomps4, scmps4,
+                        stride: int) -> Limbs:
+    """Limb pairing from per-channel peak sets (scores/inds/ys/xs all
+    (N, C, K) at full input resolution h x w)."""
+    n = scores.shape[0]
+    L = len(jtypes_f)
+    k = cfg.topk
+    jf = jnp.asarray(jtypes_f, dtype=jnp.int32)
+    jt = jnp.asarray(jtypes_t, dtype=jnp.int32)
 
     def channel_dets(jtypes):
         s = jnp.take(scores, jtypes, axis=1)

@@ -105,3 +105,53 @@ def test_fused_nms_topk_interpret(rng):
     v_ref, i_ref = jax.lax.top_k(jnp.asarray(nm), 6)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+def test_fused_peaks_kernel_matches_xla_chain(rng):
+    """fused_peaks_topk_pallas == upsample2d_matmul + NMS + block-reduce
+    top-k + within-block argmax (the XLA chain it replaces)."""
+    from offsetguided_tpu.ops.pallas.peaks_pallas import fused_peaks_topk_pallas
+    from offsetguided_tpu.ops.resize import upsample2d_matmul
+
+    b, h, k, stride = 5, 16, 6, 4
+    x = (rng.rand(b, h, h).astype(np.float32)) ** 4
+    xn = jnp.asarray(x)
+
+    vals, ys, xs = fused_peaks_topk_pallas(xn, k, factor=stride,
+                                           method='bicubic', interpret=True)
+
+    up = upsample2d_matmul(xn[..., None], stride, 'bicubic')
+    nmsed = dec.hmp_nms(up)
+    s_ref, i_ref, y_ref, x_ref = dec.topk_channel_blockreduce(
+        nmsed.transpose(0, 3, 1, 2).reshape(b, 1, h * stride, h * stride)
+        .transpose(0, 2, 3, 1), k)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(s_ref)[:, 0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(ys), np.asarray(y_ref)[:, 0])
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x_ref)[:, 0])
+
+
+def test_collect_fused_matches_sampled(rng):
+    """collect_limbs_peak_fused == collect_limbs_peak_sampled end to end."""
+    n, h, c = 2, 12, 17
+    stride = 4
+    jf, jt = skeleton_from_arrays(COCO_PERSON_SKELETON)
+    L = len(jf)
+    cfg = DecoderConfig(topk=8, thre_hmp=0.08)
+    hmp = rng.rand(n, h, h, c).astype(np.float32)
+    offs = (rng.randn(n, h, h, 2 * L) * 3).astype(np.float32)
+    jomps = (rng.randn(n, h, h, 2) * 0.5).astype(np.float32)
+    scmps = (rng.rand(n, h, h, c) * 8).astype(np.float32)
+
+    from offsetguided_tpu.ops.resize import upsample2d_matmul
+    hmp_up = upsample2d_matmul(jnp.asarray(hmp), stride, 'bicubic')
+    ref = dec.collect_limbs_peak_sampled(
+        hmp_up, jnp.asarray(offs), jf, jt, cfg, jomps4=jnp.asarray(jomps),
+        scmps4=jnp.asarray(scmps), stride=stride)
+    got = dec.collect_limbs_peak_fused(
+        jnp.asarray(hmp), jnp.asarray(offs), jf, jt, cfg,
+        jomps4=jnp.asarray(jomps), scmps4=jnp.asarray(scmps), stride=stride,
+        interpret=True)
+    a = np.asarray(dec.pack_limbs(ref))
+    g = np.asarray(dec.pack_limbs(got))
+    np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
