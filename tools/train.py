@@ -66,6 +66,11 @@ def cli(argv=None):
     g.add_argument('--log-file', default=None)
     g.add_argument('--distributed', action='store_true',
                    help='multi-host: call jax.distributed.initialize()')
+    g.add_argument('--coordinator-address', default=None,
+                   help='host:port of process 0 (omit for auto-detection '
+                        'via the cluster environment)')
+    g.add_argument('--num-processes', type=int, default=None)
+    g.add_argument('--process-id', type=int, default=None)
     g.add_argument('--seed', type=int, default=0)
     g.add_argument('--debug-tiny-model', action='store_true',
                    help='swap in a narrow backbone (CI smoke tests)')
@@ -77,7 +82,13 @@ def cli(argv=None):
 def main(argv=None):
     args = cli(argv)
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator_address:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator_address,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
 
     from offsetguided_tpu.config.defaults import (AugmentationConfig,
                                                   EncoderConfig, HeadsConfig,
@@ -167,11 +178,43 @@ def main(argv=None):
     train_step = jax.jit(make_train_step(model, tx, loss_cfg))
     out_hw = args.square_length // enc_cfg.stride
     sigmas = np.asarray(skeleton.sigmas)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        assert args.batch_size % n_proc == 0, (args.batch_size, n_proc)
+
+    def put(arr):
+        """Host batch -> globally batch-sharded device array.
+
+        Multi-process SPMD (reference torch.distributed.launch flow,
+        README.md:160): every process iterates the same deterministic global
+        batch stream and contributes only its contiguous slice — `make_mesh`
+        lays processes out contiguously along the data axis.
+        """
+        if n_proc == 1:
+            return jax.device_put(arr, bsh)
+        per = arr.shape[0] // n_proc
+        lo = jax.process_index() * per
+        return jax.make_array_from_process_local_data(bsh, arr[lo:lo + per])
+
+    def host_scalar(x):
+        """float(x) that also works on multi-process (non-fully-addressable)
+        replicated outputs."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = x.addressable_data(0)
+        return float(x)
+
+    def save_ckpt(epoch, train_loss):
+        # multi-process: orbax requires EVERY process to enter save (it
+        # coordinates via the jax.distributed barrier and writes from the
+        # primary host); gating to process 0 would deadlock
+        path = ckpt.save_checkpoint(args.checkpoint_dir, state, epoch,
+                                    train_loss)
+        return path if jax.process_index() == 0 else None
 
     def device_batch(batch):
-        images = jax.device_put(batch['image'], bsh)
-        anns = jax.device_put(batch['anns'], bsh)
-        mask_in = jax.device_put(batch['mask_miss'], bsh)
+        images = put(batch['image'])
+        anns = put(batch['anns'])
+        mask_in = put(batch['mask_miss'])
         targets = encode_targets(anns, sigmas, skeleton.skeleton,
                                  out_hw, out_hw, enc_cfg)
         mask = downscale_mask(mask_in, enc_cfg)
@@ -194,7 +237,7 @@ def main(argv=None):
                                  shuffle=False, epochs=1):
             vi, vt, vm = device_batch(vb)
             losses = eval_step(state, vi, vt, vm)
-            vmeter.update(float(losses['total']))
+            vmeter.update(host_scalar(losses['total']))
         log_record(logger, 'val', type='val', epoch=epoch, loss=vmeter.avg)
         return vmeter.avg
 
@@ -210,14 +253,13 @@ def main(argv=None):
             state, metrics = train_step(state, images, targets, mask)
             step += 1
             if args.max_steps is not None and step >= args.max_steps:
-                if jax.process_index() == 0:
-                    path = ckpt.save_checkpoint(args.checkpoint_dir, state,
-                                                epoch, meter.avg)
+                path = save_ckpt(epoch, meter.avg)
+                if path:
                     logger.info('max-steps reached, checkpoint %s', path)
                 return
             tput.tick(args.batch_size)
             if step % args.print_freq == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: host_scalar(v) for k, v in metrics.items()}
                 meter.update(m['total'])
                 log_record(logger, 'train', type='train', epoch=epoch,
                            step=step, loss=m['total'], head_losses=m,
@@ -227,9 +269,8 @@ def main(argv=None):
                 if val_dataset is not None:
                     val_loss = run_validation(state, epoch)
                     logger.info('epoch %d val loss %.4f', epoch, val_loss)
-                if jax.process_index() == 0:
-                    path = ckpt.save_checkpoint(args.checkpoint_dir, state,
-                                                epoch, meter.avg)
+                path = save_ckpt(epoch, meter.avg)
+                if path:
                     logger.info('epoch %d done, checkpoint %s', epoch, path)
                 meter.reset()
 
