@@ -143,6 +143,21 @@ def _blend_cols(subset, j, new6, gate):
 
 def _limb_update(subset, used, conns, jf, jt, cfg: DecoderConfig):
     """One limb type's greedy update. jf/jt may be traced scalars."""
+    # the limb collector emits +/-inf sentinels (off-image push, invalid
+    # distances); this dataflow gathers rows via one-hot MATMULS, where
+    # 0 * inf = NaN would poison entire skeletons. Clamping to +/-1e9
+    # preserves every comparison against finite thresholds exactly.
+    conns = jnp.clip(conns, -1e9, 1e9)
+    # HIGHEST precision is required: the one-hot matmul gathers carry raw
+    # keypoint flat indices (up to ~2.6M for 640^2 x4 upsampled maps), and the
+    # TPU's default bf16x3 dot rounds them (~0.25 absolute at 2M), breaking
+    # the joint-identity equality tests -> total skeleton fragmentation.
+    # CPU XLA dots are exact f32, which is why only compiled-TPU runs broke.
+    with jax.default_matmul_precision('highest'):
+        return _limb_update_body(subset, used, conns, jf, jt, cfg)
+
+
+def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig):
     K = conns.shape[0]
     M = subset.shape[0]
     arK = _iota(K)
@@ -254,7 +269,13 @@ def _limb_update(subset, used, conns, jf, jt, cfg: DecoderConfig):
 
 def _finalize(subset, used, cfg: DecoderConfig, J: int):
     """Score, filter and selection-sort the final skeleton state
-    (iterative masked argmax; statically unrolled -- MP blocks of ~6 ops)."""
+    (iterative masked argmax; statically unrolled -- MP blocks of ~6 ops).
+    HIGHEST matmul precision: see _limb_update."""
+    with jax.default_matmul_precision('highest'):
+        return _finalize_body(subset, used, cfg, J)
+
+
+def _finalize_body(subset, used, cfg: DecoderConfig, J: int):
     svals = subset @ _sel_matrix(
         subset.shape[1], tuple(6 * j + cfg.sort_dim for j in range(J)))
     pos = (svals > 0) & (used[:, None] > 0.5)
