@@ -40,6 +40,14 @@ class Conv(nn.Module):
     """2-D convolution, parameter-compatible with flax nn.Conv
     (params `kernel` (kh, kw, in, out) and optional `bias` (out,)).
 
+    Default padding is 'TORCH': symmetric dilation*(k-1)//2 per side, the
+    torch Conv2d convention the reference uses everywhere
+    (models/hourglass_104.py:16-22 `pad = (k - 1) // 2`). For stride-1 odd
+    kernels this equals SAME; for stride-2 it differs (SAME pads
+    asymmetrically on even inputs, shifting every downsample by one input
+    pixel), and matching the reference geometry is required for converted
+    reference checkpoints to reproduce their outputs.
+
     `fold_scale`/`fold_shift` apply a per-output-channel affine *inside* the
     conv (folded BatchNorm); `s2d=True` executes an odd-kernel stride-2 conv
     in the space-to-depth domain (bit-equivalent result, MXU-friendly
@@ -48,7 +56,7 @@ class Conv(nn.Module):
     features: int
     kernel_size: Tuple[int, int]
     strides: Tuple[int, int] = (1, 1)
-    padding: Any = 'SAME'
+    padding: Any = 'TORCH'
     kernel_dilation: Tuple[int, int] = (1, 1)
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
@@ -72,16 +80,22 @@ class Conv(nn.Module):
         if fold_shift is not None:
             shift = fold_shift if shift is None else shift + fold_shift
 
+        if self.padding == 'TORCH':
+            padding = tuple((d * (k - 1) // 2,) * 2 for k, d in
+                            zip(self.kernel_size, self.kernel_dilation))
+        else:
+            padding = self.padding
+
         x = x.astype(self.dtype)
         if (self.s2d and self.strides == (2, 2)
                 and self.kernel_dilation == (1, 1)
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
-                and kh == kw and kh % 4 == 3 and self.padding == 'SAME'):
+                and kh == kw and kh % 2 == 1 and self.padding == 'TORCH'):
             y = self._s2d_conv(x, kernel)
         else:
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(self.dtype),
-                window_strides=self.strides, padding=self.padding,
+                window_strides=self.strides, padding=padding,
                 rhs_dilation=self.kernel_dilation,
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         if shift is not None:
@@ -89,31 +103,31 @@ class Conv(nn.Module):
         return y
 
     def _s2d_conv(self, x, kernel):
-        """k x k stride-2 SAME conv (k === 3 mod 4, even input) as a stride-1
+        """Odd k x k stride-2 torch-padded conv (even input) as a stride-1
         conv on the 2x2 space-to-depth input.
 
-        SAME padding on even input gives pad_low = (k - 2) // 2, which is
-        even exactly when k === 3 (mod 4). Output pixel p reads input
-        u = 2p + a - pad_low for kernel tap a; writing u = 2i + d (i: s2d
-        pixel, d: parity channel) gives a = 2*ai + d with s2d tap
-        ai = i - p + pad_low/2, so the s2d kernel is the original kernel
-        zero-padded to even size and reshaped by tap parity -- a pure
-        reshape/transpose. For k=7: 4x4 taps over 4c channels, pad (1, 2).
+        With pad P = (k-1)//2, output pixel p reads input u = 2p + a - P for
+        kernel tap a. Writing u = 2i + d (i: s2d pixel, d: parity channel)
+        gives a = 2(i - p) + d + P; substituting the s2d tap j = (i - p) + lo
+        with lo = (P+1)//2 yields a = 2j + d - (P % 2), so the s2d kernel is
+        the original kernel zero-padded by P%2 at the front (and to even
+        length at the back) and reshaped by tap parity -- a pure
+        reshape/transpose. For k=7: 4x4 taps over 4c channels, pad (2, 1).
         """
         n, h, w, c = x.shape
         kh, kw = self.kernel_size
-        k2 = (kh + 1) // 2 + (((kh + 1) // 2) % 2)   # s2d tap count (even)
-        pad = jnp.pad(kernel, ((0, 2 * k2 - kh), (0, 2 * k2 - kw),
+        P = (kh - 1) // 2
+        front = P % 2
+        k2 = (kh + front + 1) // 2                   # s2d tap count
+        pad = jnp.pad(kernel, ((front, 2 * k2 - kh - front),
+                               (front, 2 * k2 - kw - front),
                                (0, 0), (0, 0)))
         kk = pad.reshape(k2, 2, k2, 2, c, self.features)
         kk = kk.transpose(0, 2, 1, 3, 4, 5).reshape(k2, k2, 4 * c,
                                                     self.features)
         xs = x.reshape(n, h // 2, 2, w // 2, 2, c)
         xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
-        # tap i - p ranges over [-(k2//2 - 1) - ... ]: for SAME/even-input the
-        # low pad is k2//2 - 1 and high pad is k2//2 + (k2 - 1) - (k2//2 - 1)
-        # - ... ; derived for k=7: taps i-p in [-1, 2] -> pad (1, 2)
-        lo = (kh // 2) // 2
+        lo = (P + 1) // 2
         hi = k2 - 1 - lo
         return jax.lax.conv_general_dilated(
             xs, kk.astype(self.dtype), (1, 1),
