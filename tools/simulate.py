@@ -22,8 +22,16 @@ def cli():
     p.add_argument('--long-edge', type=int, default=640)
     p.add_argument('--n-images', type=int, default=None)
     p.add_argument('--topk', type=int, default=32)
+    p.add_argument('--thre-hmp', type=float, default=0.1)
     p.add_argument('--dist-max', type=float, default=40.0)
+    p.add_argument('--max-persons', type=int, default=48)
     p.add_argument('--lowres-decode', action='store_true')
+    p.add_argument('--pallas', default='auto', choices=['auto', 'on', 'off'],
+                   help='decode kernel dispatch (parity comparisons)')
+    p.add_argument('--flip-test', action='store_true',
+                   help='encode the W-mirrored annotations as the second '
+                        'half-batch and decode through the flip-merge path '
+                        '(the oracle analogue of evaluate.py flip test)')
     return p.parse_args()
 
 
@@ -39,25 +47,46 @@ def main():
     from offsetguided_tpu.ops.encoder import encode_targets
 
     skeleton = SkeletonConfig()
-    enc_cfg = EncoderConfig(max_persons=48)
+    enc_cfg = EncoderConfig(max_persons=args.max_persons)
     eval_cfg = EvalConfig(long_edge=args.long_edge, flip_test=False,
                           batch_size=1)
     pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig(
-        topk=args.topk, thre_hmp=0.1, dist_max=args.dist_max,
+        topk=args.topk, thre_hmp=args.thre_hmp, dist_max=args.dist_max,
         use_scale=False, person_thre=0.1,
-        upsampled_decode=not args.lowres_decode))
+        upsampled_decode=not args.lowres_decode,
+        pallas_grouping=args.pallas))
     coco = CocoJson(args.annotation_file)
     sigmas = np.asarray(skeleton.sigmas)
     size = args.long_edge
+    kp_flip = np.asarray(skeleton.heatmap_flip_indices())
 
-    @jax.jit
-    def oracle_decode(anns):
+    def encode(anns):
         t = encode_targets(anns, sigmas, skeleton.skeleton,
                            size // enc_cfg.stride, size // enc_cfg.stride,
                            enc_cfg)
-        preds = {'hmp': [t.hmp], 'bg': [None], 'jomp': [t.jomp],
-                 'omp': [t.omp], 'spread': [None], 'scmp': [None]}
-        return pp._decode_body(preds, flip_test=False)
+        return {'hmp': [t.hmp], 'bg': [None], 'jomp': [t.jomp],
+                'omp': [t.omp], 'spread': [None], 'scmp': [None]}
+
+    @jax.jit
+    def oracle_decode(anns):
+        return pp._decode_body(encode(anns), flip_test=False)
+
+    @jax.jit
+    def oracle_decode_flip(anns, anns_flipped):
+        """[original; mirrored] GT -> flip-merged decode: what a perfect
+        network would produce under evaluate.py's flip test."""
+        a, b = encode(anns), encode(anns_flipped)
+        preds = {k: [jnp.concatenate([a[k][0], b[k][0]])
+                     if a[k][0] is not None else None] for k in a}
+        return pp._decode_body(preds, flip_test=True)
+
+    def mirror_annotations(padded):
+        """W-mirror padded (1, P, J, 4) annotations: what the mirrored image's
+        GT looks like (x -> size-1-x, L/R keypoint labels swap)."""
+        flipped = padded[:, :, kp_flip, :].copy()
+        valid = flipped[..., 2] > 0
+        flipped[..., 0] = np.where(valid, size - 1 - flipped[..., 0], 0.0)
+        return flipped
 
     results = []
     ids = coco.image_ids(with_persons=True, with_keypoints=True)
@@ -76,7 +105,11 @@ def main():
                           np.float32)
         padded[0, :min(len(anns), enc_cfg.max_persons)] = \
             anns[:enc_cfg.max_persons]
-        poses, scores, counts = oracle_decode(jnp.asarray(padded))
+        if args.flip_test:
+            poses, scores, counts = oracle_decode_flip(
+                jnp.asarray(padded), jnp.asarray(mirror_annotations(padded)))
+        else:
+            poses, scores, counts = oracle_decode(jnp.asarray(padded))
         valid = np.asarray(poses[0])[:int(counts[0])]
         inv = T.annotations_inverse(valid, meta)
         results.extend(poses_to_coco_results(inv, img_id))
