@@ -14,10 +14,13 @@ import time
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
-
 sys.path.insert(0, '/root/repo')
+
+# host-keyed persistent cache: a foreign host's cached CPU AOT executables
+# segfault on load (utils/cache.py)
+from offsetguided_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('/tmp/jax_bench_cache')
 
 BASELINE_FPS = 30.0  # reference 2080 Ti end-to-end FPS
 

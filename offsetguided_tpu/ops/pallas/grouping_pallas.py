@@ -53,11 +53,16 @@ def _iota(n, dtype=jnp.int32):
     return jax.lax.broadcasted_iota(dtype, (n, 1), 0)[:, 0]
 
 
-def _cumsum_incl(v):
-    """Inclusive cumsum via a triangular masked sum (no matrix-vector dots)."""
+def _cumsum_incl(v, seg: int = 0):
+    """Inclusive cumsum via a triangular masked sum (no matrix-vector dots).
+
+    seg > 0 restarts the cumsum every `seg` elements (per-image segments in
+    the row-batched kernel)."""
     n = v.shape[0]
-    tril = (_iota(n)[:, None] >= _iota(n)[None, :]).astype(v.dtype)
-    return (tril * v[None, :]).sum(axis=1)
+    tril = _iota(n)[:, None] >= _iota(n)[None, :]
+    if seg:
+        tril = tril & (_iota(n)[:, None] // seg == _iota(n)[None, :] // seg)
+    return (tril.astype(v.dtype) * v[None, :]).sum(axis=1)
 
 
 def _first_true_cols(mask):
@@ -66,7 +71,11 @@ def _first_true_cols(mask):
     among ties than CPU XLA, and the reference semantics are first-wins."""
     r, c = mask.shape
     triu = (_iota(c)[:, None] <= _iota(c)[None, :]).astype(jnp.float32)
-    csum = mask.astype(jnp.float32) @ triu            # inclusive cumsum, axis 1
+    # 0/1 operands are exact in bf16 and the MXU accumulates in f32, so this
+    # (R,C)@(C,C) -- the biggest matmul in the kernel -- can run at DEFAULT
+    # precision even inside the 'highest' value-gather context
+    csum = jnp.matmul(mask.astype(jnp.float32), triu,
+                      precision=jax.lax.Precision.DEFAULT)
     return (mask & (csum == 1.0)).astype(jnp.float32)
 
 
@@ -74,7 +83,9 @@ def _first_true_rows(mask):
     """(R, C) bool -> 0/1 f32 with at most one 1 per column: FIRST true row."""
     r, c = mask.shape
     tril = (_iota(r)[:, None] >= _iota(r)[None, :]).astype(jnp.float32)
-    csum = tril @ mask.astype(jnp.float32)            # inclusive cumsum, axis 0
+    # mask-only matmul: DEFAULT precision is exact (see _first_true_cols)
+    csum = jnp.matmul(tril, mask.astype(jnp.float32),
+                      precision=jax.lax.Precision.DEFAULT)
     return (mask & (csum == 1.0)).astype(jnp.float32)
 
 
@@ -141,8 +152,16 @@ def _blend_cols(subset, j, new6, gate):
     return subset * (1.0 - g) + tiled * g
 
 
-def _limb_update(subset, used, conns, jf, jt, cfg: DecoderConfig):
-    """One limb type's greedy update. jf/jt may be traced scalars."""
+def _limb_update(subset, used, conns, jf, jt, cfg: DecoderConfig,
+                 n_img: int = 1):
+    """One limb type's greedy update. jf/jt may be traced scalars.
+
+    With n_img > 1, `subset`/`used` hold n_img images' states stacked on the
+    row axis (n_img * M rows) and `conns` the stacked candidates
+    (n_img * K rows); image-locality masks keep every interaction
+    block-diagonal, so one call advances ALL images of the batch group -- the
+    kernel's grid shrinks from (n, L) sequential steps to (ceil(n/G), L).
+    """
     # the limb collector emits +/-inf sentinels (off-image push, invalid
     # distances); this dataflow gathers rows via one-hot MATMULS, where
     # 0 * inf = NaN would poison entire skeletons. Clamping to +/-1e9
@@ -154,14 +173,23 @@ def _limb_update(subset, used, conns, jf, jt, cfg: DecoderConfig):
     # the joint-identity equality tests -> total skeleton fragmentation.
     # CPU XLA dots are exact f32, which is why only compiled-TPU runs broke.
     with jax.default_matmul_precision('highest'):
-        return _limb_update_body(subset, used, conns, jf, jt, cfg)
+        return _limb_update_body(subset, used, conns, jf, jt, cfg, n_img)
 
 
-def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig):
-    K = conns.shape[0]
-    M = subset.shape[0]
-    arK = _iota(K)
-    arM = _iota(M)
+def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig,
+                      n_img: int = 1):
+    K = conns.shape[0] // n_img          # per-image candidate count
+    M = subset.shape[0] // n_img         # per-image skeleton capacity
+    BK, BM = conns.shape[0], subset.shape[0]
+    arK = _iota(BK)
+    arM = _iota(BM)
+    # image-locality masks (all-true when n_img == 1; skipped statically)
+    if n_img > 1:
+        ci = arK // K                    # image id per candidate row
+        ri = arM // M                    # image id per skeleton row
+        ci_eq = ci[:, None] == ci[None, :]
+        ri_eq = ri[:, None] == ri[None, :]
+        ri_ci = ri[:, None] == ci[None, :]
 
     x1, y1 = conns[:, 0], conns[:, 1]
     x2, y2 = conns[:, 3], conns[:, 4]
@@ -176,6 +204,8 @@ def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig):
     valid = dist_valid & (x1 > 0) & (y1 > 0) & (x2 > 0) & (y2 > 0)
 
     same = ind2[:, None] == ind2[None, :]
+    if n_img > 1:
+        same = same & ci_eq            # inds may collide across images
     better = (score[None, :] > score[:, None]) | (
         (score[None, :] == score[:, None]) & (arK[None, :] < arK[:, None]))
     keep = valid & ~(valid[None, :] & same & better).any(axis=1)
@@ -183,6 +213,8 @@ def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig):
     jid_f = _col_of(subset, 6 * jf + COL_IND)
     jid_t = _col_of(subset, 6 * jt + COL_IND)
     row_gate = (used[:, None] > 0.5) & keep[None, :]
+    if n_img > 1:
+        row_gate = row_gate & ri_ci
     m1 = (jid_f[:, None] == ind1[None, :]) & row_gate
     m2 = (jid_t[:, None] == ind2[None, :]) & row_gate
     mask_sum = m1.astype(jnp.int32) + m2.astype(jnp.int32)
@@ -224,11 +256,18 @@ def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig):
     J = subset.shape[1] // 6
     inds = subset @ _sel_matrix(
         subset.shape[1], tuple(6 * j + COL_IND for j in range(J)))  # (M, J)
-    shared = ((inds[:, None, :] == inds[None, :, :])
-              & (inds[:, None, :] != -1.0)).sum(axis=-1)
+    # accumulate per joint: the rank-3 (BM, BM, J) broadcast form costs
+    # BM^2*J*4 bytes of VMEM (17 MB at BM=512), the J-unrolled form BM^2
+    shared = jnp.zeros((BM, BM), jnp.int32)
+    for j in range(J):
+        cj = _col_of(inds, j)                              # (BM,)
+        eqj = (cj[:, None] == cj[None, :]) & (cj[:, None] != -1.0)
+        shared = shared + eqj.astype(jnp.int32)
     upper = arM[:, None] < arM[None, :]
     mergeable = ((shared == 2) & upper
                  & (used[:, None] > 0.5) & (used[None, :] > 0.5))
+    if n_img > 1:
+        mergeable = mergeable & ri_eq
     ht_row = _sum_axis0(mergeable.astype(jnp.float32)) > 0     # (1, Mb)
     FT = _first_true_rows(mergeable)                   # (Ma, Mb): first a per b
     # has_target gathered at a_sel (= the FT row), via a masked axis-0 sum
@@ -249,14 +288,19 @@ def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig):
     used = used * (1.0 - cm[:, 0])
 
     # --- new skeletons from unmatched conns --------------------------------
+    # cross-image m1/m2 entries are masked to 0, so an all-rows test is
+    # equivalent to an all-rows-of-its-image test
     untouched_row = _sum_axis0(
-        (mask_sum == 0).astype(jnp.float32)) == float(M)   # (1, K)
+        (mask_sum == 0).astype(jnp.float32)) == float(BM)  # (1, BK)
     new_k = (keep[None, :] & untouched_row).astype(jnp.float32)[0]
-    new_rank = _cumsum_incl(new_k) - 1.0               # (K,)
+    # free-slot ranking restarts per image (segmented cumsums)
+    new_rank = _cumsum_incl(new_k, K if n_img > 1 else 0) - 1.0   # (BK,)
     free = 1.0 - used
-    r_free = _cumsum_incl(free) - 1.0                  # (M,)
+    r_free = _cumsum_incl(free, M if n_img > 1 else 0) - 1.0      # (BM,)
     assign = (free[:, None] * new_k[None, :]) * (
         r_free[:, None] == new_rank[None, :]).astype(jnp.float32)
+    if n_img > 1:
+        assign = assign * ri_ci.astype(jnp.float32)
     row_has = jnp.minimum(assign.sum(axis=1), 1.0)     # (M,) 0/1
     vals = assign @ conns                              # (M, 13)
     for col, i0 in ((jf, 0), (jt, 3)):
@@ -307,6 +351,57 @@ def _finalize_body(subset, used, cfg: DecoderConfig, J: int):
     return poses_out, scores_out, count.astype(jnp.int32)
 
 
+def _finalize_batched(subset, used, cfg: DecoderConfig, J: int, n_img: int,
+                      M: int):
+    """Row-batched _finalize: n_img images' states stacked on the row axis.
+
+    Per-image selection sort runs for ALL images simultaneously -- each of the
+    MP iterations extracts one row per image (a (n_img, BM) masked max + a
+    segmented first-true). Returns (poses (MP*n_img, J*6) mp-major,
+    counts (n_img, 1) f32); per-pose scores are recomputed by the host from
+    the emitted rows (same masked-mean formula), keeping the kernel's store
+    shapes 2D."""
+    with jax.default_matmul_precision('highest'):
+        BM = n_img * M
+        svals = subset @ _sel_matrix(
+            subset.shape[1], tuple(6 * j + cfg.sort_dim for j in range(J)))
+        pos = (svals > 0) & (used[:, None] > 0.5)
+        npos = pos.sum(axis=1)
+        score = jnp.where(npos > 0,
+                          (svals * pos).sum(axis=1) / jnp.maximum(npos, 1),
+                          0.0)
+        keep_rows = (used > 0.5) & (score >= cfg.person_thre)
+        sel_score = jnp.where(keep_rows, score, -1.0)
+        subset_clean = jnp.where(jnp.equal(subset, -1.0), 0.0, subset)
+
+        # (n_img, BM) 0/1: row r belongs to image b; and its (BM, n_img) mate
+        bi = jax.lax.broadcasted_iota(jnp.int32, (n_img, BM), 0)
+        rr = jax.lax.broadcasted_iota(jnp.int32, (n_img, BM), 1)
+        imgmask = (rr // M == bi).astype(jnp.float32)       # (n_img, BM)
+        rb = jax.lax.broadcasted_iota(jnp.int32, (BM, n_img), 0)
+        bb = jax.lax.broadcasted_iota(jnp.int32, (BM, n_img), 1)
+        maskT = (rb // M == bb).astype(jnp.float32)         # (BM, n_img)
+
+        counts = imgmask @ keep_rows.astype(jnp.float32)[:, None]  # (n_img,1)
+
+        MP = cfg.max_poses
+        remaining = sel_score                                # (BM,)
+        rows = []
+        for _ in range(MP):
+            remB = imgmask * remaining[None, :] - (1.0 - imgmask) * 3.0
+            valB = jnp.max(remB, axis=1, keepdims=True)      # (n_img, 1)
+            okB = (valB >= cfg.person_thre).astype(jnp.float32)
+            rowval = (maskT @ valB)[:, 0]                    # (BM,)
+            eq = remaining == rowval
+            csum = _cumsum_incl(eq.astype(jnp.float32), M)   # per-image
+            ohm = (eq & (csum == 1.0)).astype(jnp.float32)   # <=1 per image
+            emit = ohm * (maskT @ okB)[:, 0]                 # (BM,)
+            rows.append(imgmask @ (emit[:, None] * subset_clean))  # (n_img,J6)
+            remaining = jnp.where(ohm > 0, -2.0, remaining)
+        poses_out = jnp.concatenate(rows, axis=0)   # (MP*n_img, J*6) mp-major
+        return poses_out, counts
+
+
 def _group_core(load_conns, load_joints, L, cfg: DecoderConfig, J: int,
                 M: int):
     """One image's (L, K, 13) candidate limbs -> (poses (MP, J*6), scores,
@@ -349,15 +444,20 @@ def group_skeletons_xla_core(packed_limbs, skeleton, cfg: DecoderConfig,
 
 def group_skeletons_pallas(packed_limbs, skeleton, cfg: DecoderConfig,
                            n_keypoints: int = 17, capacity: int = 64,
-                           interpret: bool = False):
-    """Batched grouping as one Pallas program, grid = (image, limb).
+                           interpret: bool = False, group_size: int = 8):
+    """Batched grouping as one Pallas program, grid = (group, limb).
 
-    The kernel body contains ONE limb update (joint ids read from SMEM by
-    `program_id(1)`); the skeleton state lives in VMEM scratch that persists
-    across the sequential grid steps, and the final selection sort runs under
-    `pl.when` on the last limb step. This keeps the Mosaic program ~L times
-    smaller than a statically unrolled kernel (cold compile: minutes -> tens
-    of seconds) with zero extra dispatches or HBM round-trips.
+    Up to `group_size` images are stacked on the ROW axis of the kernel state
+    (image-locality masks keep every interaction block-diagonal, see
+    _limb_update), so one grid step advances a whole group through a limb
+    iteration: ceil(n/G) * L sequential steps instead of n * L. At the
+    benchmark batch 8 this is 19 steps instead of 152 -- the kernel was pure
+    serial latency (tiny 64-row matrices), so wall time drops ~linearly while
+    the MXU sees (512, 512) work instead of (64, 64).
+
+    The final per-image selection sort also runs batched (_finalize_batched)
+    under `pl.when` on the last limb step; per-pose scores are recomputed on
+    the host from the emitted rows (identical masked-mean formula).
 
     Same signature/results as grouping.group_skeletons.
     """
@@ -368,56 +468,83 @@ def group_skeletons_pallas(packed_limbs, skeleton, cfg: DecoderConfig,
     n, L, K, C = packed_limbs.shape
     MP, J = cfg.max_poses, n_keypoints
     M = capacity
+    G = max(1, min(n, group_size))
+    ngroups = -(-n // G)
+    BM = G * M
 
-    def kernel(limbs_ref, jf_ref, jt_ref, poses_ref, scores_ref, count_ref,
+    x = packed_limbs.astype(jnp.float32)
+    npad = ngroups * G - n
+    if npad:
+        # all-zero candidates: x1 > 0 fails -> padded images decode to 0 poses
+        x = jnp.concatenate(
+            [x, jnp.zeros((npad, L, K, C), jnp.float32)], axis=0)
+    # (ngroups, L, G*K, C): one grid step loads a whole group's candidates
+    x = x.reshape(ngroups, G, L, K, C).transpose(0, 2, 1, 3, 4)
+    x = x.reshape(ngroups, L, G * K, C)
+
+    def kernel(limbs_ref, jf_ref, jt_ref, poses_ref, counts_ref,
                subset_s, used_s):
         l = pl.program_id(1)
 
         @pl.when(l == 0)
         def _init():
-            subset_s[...] = jnp.full((M, J * 6), -1.0, jnp.float32)
-            used_s[...] = jnp.zeros((M, 1), jnp.float32)
+            subset_s[...] = jnp.full((BM, J * 6), -1.0, jnp.float32)
+            used_s[...] = jnp.zeros((BM, 1), jnp.float32)
 
-        conns = limbs_ref[0, 0].astype(jnp.float32)        # (K, C)
+        conns = limbs_ref[0, 0].astype(jnp.float32)        # (G*K, C)
         subset, used = _limb_update(subset_s[...], used_s[...][:, 0],
-                                    conns, jf_ref[l], jt_ref[l], cfg)
+                                    conns, jf_ref[l], jt_ref[l], cfg,
+                                    n_img=G)
         subset_s[...] = subset
         used_s[...] = used[:, None]
 
         @pl.when(l == L - 1)
         def _flush():
-            poses, scores, count = _finalize(subset, used, cfg, J)
-            poses_ref[0] = poses
-            scores_ref[0, 0] = scores
-            count_ref[0, 0, 0] = count
+            poses, counts = _finalize_batched(subset, used, cfg, J, G, M)
+            poses_ref[0] = poses                           # (MP*G, J*6)
+            counts_ref[0] = counts                         # (G, 1)
 
     skel_arr = jnp.asarray(skeleton, dtype=jnp.int32)      # (L, 2)
     out = pl.pallas_call(
         kernel,
-        grid=(n, L),
-        in_specs=[pl.BlockSpec((1, 1, K, C), lambda i, l: (i, l, 0, 0),
+        grid=(ngroups, L),
+        in_specs=[pl.BlockSpec((1, 1, G * K, C), lambda g, l: (g, l, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((L,), lambda i, l: (0,),
+                  pl.BlockSpec((L,), lambda g, l: (0,),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((L,), lambda i, l: (0,),
+                  pl.BlockSpec((L,), lambda g, l: (0,),
                                memory_space=pltpu.SMEM)],
         out_specs=(
-            pl.BlockSpec((1, MP, J * 6), lambda i, l: (i, 0, 0),
+            pl.BlockSpec((1, MP * G, J * 6), lambda g, l: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, MP), lambda i, l: (i, 0, 0),
+            pl.BlockSpec((1, G, 1), lambda g, l: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1), lambda i, l: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, MP, J * 6), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, MP), jnp.float32),
-            jax.ShapeDtypeStruct((n, 1, 1), jnp.int32),
+            jax.ShapeDtypeStruct((ngroups, MP * G, J * 6), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, G, 1), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((M, J * 6), jnp.float32),
-                        pltpu.VMEM((M, 1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BM, J * 6), jnp.float32),
+                        pltpu.VMEM((BM, 1), jnp.float32)],
+        # the row-batched unrolled program's stack exceeds the compiler's
+        # conservative 16MB scoped-vmem default; v5e VMEM is 128MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(packed_limbs.astype(jnp.float32),
-      skel_arr[:, 0] + 0, skel_arr[:, 1] + 0)
-    poses, scores, counts = out
-    return (poses.reshape(n, MP, J, 6), scores[:, 0], counts[:, 0, 0])
+    )(x, skel_arr[:, 0] + 0, skel_arr[:, 1] + 0)
+    poses_raw, counts_raw = out
+
+    # (ngroups, MP*G, J*6) mp-major -> (n, MP, J, 6)
+    poses = poses_raw.reshape(ngroups, MP, G, J, 6)
+    poses = poses.transpose(0, 2, 1, 3, 4).reshape(ngroups * G, MP, J, 6)
+    poses = poses[:n]
+    counts = counts_raw.reshape(ngroups * G)[:n].astype(jnp.int32)
+    # per-pose scores: masked mean of the sort column over positive keypoints
+    # (identical to _finalize's formula; emitted rows have -1 cleaned to 0)
+    svals = poses[..., cfg.sort_dim]                       # (n, MP, J)
+    pos = svals > 0
+    npos = pos.sum(axis=-1)
+    scores = jnp.where(npos > 0,
+                       (svals * pos).sum(axis=-1) / jnp.maximum(npos, 1),
+                       0.0)
+    return poses, scores, counts

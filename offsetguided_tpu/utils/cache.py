@@ -1,0 +1,39 @@
+"""Host-keyed persistent compilation cache directory.
+
+The driver environment migrates between machines across sessions while /tmp
+persists. JAX's persistent cache stores CPU AOT executables whose machine
+features are NOT part of the cache key; loading an executable compiled on a
+host with different CPU features warns (`cpu_aot_loader.cc ... could lead to
+execution errors such as SIGILL`) or outright segfaults (observed killing the
+test suite mid-run). Keying the directory by the host's CPU flag set makes a
+machine change a cache miss instead of a crash.
+"""
+from __future__ import annotations
+
+import hashlib
+
+
+def _host_fingerprint() -> str:
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+
+
+def host_cache_dir(base: str) -> str:
+    """'/tmp/jax_x_cache' -> '/tmp/jax_x_cache_<cpu-flags-hash>'."""
+    return f'{base}_{_host_fingerprint()}'
+
+
+def enable_persistent_cache(base: str, min_compile_secs: float = 1.0) -> str:
+    import jax
+    path = host_cache_dir(base)
+    jax.config.update('jax_compilation_cache_dir', path)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                      min_compile_secs)
+    return path

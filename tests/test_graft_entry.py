@@ -27,7 +27,9 @@ def test_dryrun_multichip_driver_invocation():
     # No xla_force_host_platform_device_count: the outer interpreter sees one
     # device, so dryrun_multichip must re-exec with a self-provisioned mesh.
     env.pop('XLA_FLAGS', None)
-    env['JAX_COMPILATION_CACHE_DIR'] = '/tmp/jax_test_cache'
+    # no persistent cache: CPU AOT (de)serialization crashes on this host
+    # (see tests/conftest.py)
+    env.pop('JAX_COMPILATION_CACHE_DIR', None)
     res = subprocess.run(
         [sys.executable, '-c',
          'import __graft_entry__; __graft_entry__.dryrun_multichip(8)'],

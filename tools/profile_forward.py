@@ -18,8 +18,9 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-jax.config.update('jax_compilation_cache_dir', '/tmp/jax_bench_cache')
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+from offsetguided_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache('/tmp/jax_bench_cache')
 
 
 def build_forward(batch, size, compute_dtype='bfloat16', **model_kw):
