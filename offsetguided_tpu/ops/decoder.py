@@ -349,10 +349,15 @@ def collect_limbs(
         jitter_f = jnp.zeros((n, L, k, 2), dtype=xys_f.dtype)
         jitter_t = jnp.zeros((n, L, k, 2), dtype=xys_t.dtype)
 
-    # gather guiding-offset vectors at start-keypoint positions
-    # offs (N, H, W, 2L) -> (N, H*W, L, 2) -> (N, L, H*W, 2)
-    off_lk = offs.reshape(n, h * w, L, 2).transpose(0, 2, 1, 3)
-    off_f = jnp.take_along_axis(off_lk, inds_f[..., None], axis=2)  # (N, L, K, 2)
+    # gather guiding-offset vectors at start-keypoint positions. Flattened
+    # single gather: the former (N, H*W, L, 2) -> (N, L, H*W, 2) transpose
+    # materialized a 15.6MB strided copy per map only to read L*K vectors
+    # from it.
+    off_flat = offs.reshape(n, h * w * L * 2)
+    base = inds_f * jnp.int32(L * 2) \
+        + (jnp.arange(L, dtype=jnp.int32) * 2)[None, :, None]   # (N, L, K)
+    idx2 = jnp.stack([base, base + 1], axis=-1).reshape(n, L * k * 2)
+    off_f = jnp.take_along_axis(off_flat, idx2, axis=1).reshape(n, L, k, 2)
 
     # regressed end-joint positions (decoder/collect.py:152)
     guid_t = xys_f + off_f * resize_factor

@@ -444,20 +444,21 @@ def group_skeletons_xla_core(packed_limbs, skeleton, cfg: DecoderConfig,
 
 def group_skeletons_pallas(packed_limbs, skeleton, cfg: DecoderConfig,
                            n_keypoints: int = 17, capacity: int = 64,
-                           interpret: bool = False, group_size: int = 8):
+                           interpret: bool = False, group_size: int = 1):
     """Batched grouping as one Pallas program, grid = (group, limb).
 
-    Up to `group_size` images are stacked on the ROW axis of the kernel state
+    `group_size` images are stacked on the ROW axis of the kernel state
     (image-locality masks keep every interaction block-diagonal, see
-    _limb_update), so one grid step advances a whole group through a limb
-    iteration: ceil(n/G) * L sequential steps instead of n * L. At the
-    benchmark batch 8 this is 19 steps instead of 152 -- the kernel was pure
-    serial latency (tiny 64-row matrices), so wall time drops ~linearly while
-    the MXU sees (512, 512) work instead of (64, 64).
+    _limb_update), shrinking the grid from (n, L) to (ceil(n/G), L)
+    sequential steps; the final per-image selection sorts also run batched
+    (_finalize_batched) and per-pose scores are recomputed on the host with
+    the identical masked-mean formula.
 
-    The final per-image selection sort also runs batched (_finalize_batched)
-    under `pl.when` on the last limb step; per-pose scores are recomputed on
-    the host from the emitted rows (identical masked-mean formula).
+    Measured on v5e (batch 8, topk 32, capacity 64, trace-based op timing):
+    G=1 2.72 ms, G=4 3.58 ms, G=8 4.63 ms -- the (G*M)^2 pairwise-state ops
+    (merge detection, dedup, first-true cumsums) grow faster than the step
+    count shrinks, so the per-image grid is the default; group_size stays for
+    configurations with smaller capacity/top-k where the trade flips.
 
     Same signature/results as grouping.group_skeletons.
     """

@@ -124,30 +124,43 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
     hb = h * factor // 2
     ue_np, uo_np = _parity_matrices(h, factor, method)
 
-    def kernel(x_ref, ue_ref, uo_ref, vals_ref, ys_ref, xs_ref):
+    def kernel(x_ref, ue_ref, uo_ref, vals_ref, ys_ref, xs_ref,
+               tile_s, code_s):
         best, code = _peaks_core(x_ref[0], ue_ref[...], uo_ref[...])
-        rows = jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1)
-        flat = rows * hb + cols
+        tile_s[...] = best
+        code_s[...] = code
+        rows_col = jax.lax.broadcasted_iota(jnp.int32, (hb, 1), 0)  # (hb, 1)
+        cols_row = jax.lax.broadcasted_iota(jnp.int32, (1, hb), 1)  # (1, hb)
         ar_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
+        rm0 = jnp.max(best, axis=1, keepdims=True)                  # (hb, 1)
 
+        # Iterative extraction with per-row maximum maintenance: the old body
+        # re-scanned the whole (hb, hb) tile ~7 times per iteration; this one
+        # touches only the per-row max column plus ONE dynamically-indexed
+        # row of the scratch tile (exact values, no matmul-gather rounding).
+        # Order parity with the full-tile version: global max, ties broken by
+        # lowest flat index (first tied row, then first tied column).
         def body(i, carry):
-            tile, vals, ys, xs = carry
-            mval = jnp.max(tile)
-            eq = tile == mval
-            idx = jnp.min(jnp.where(eq, flat, jnp.int32(hb * hb)))
-            hit = flat == idx
-            cd = jnp.max(jnp.where(hit, code, -1.0)).astype(jnp.int32)
+            rm, vals, ys, xs = carry
+            mval = jnp.max(rm)
+            r = jnp.min(jnp.where(rm == mval, rows_col, hb))
+            row = tile_s[pl.ds(r, 1), :]                            # (1, hb)
+            c = jnp.min(jnp.where(row == mval, cols_row, hb))
+            coderow = code_s[pl.ds(r, 1), :]
+            cd = jnp.max(jnp.where(cols_row == c, coderow, -1.0))
+            cd = cd.astype(jnp.int32)
+            masked = jnp.where(cols_row == c, jnp.float32(-jnp.inf), row)
+            tile_s[pl.ds(r, 1), :] = masked
+            rm = jnp.where(rows_col == r, jnp.max(masked), rm)
             sel = ar_k == i
             vals = jnp.where(sel, mval, vals)
-            ys = jnp.where(sel, 2 * (idx // hb) + cd // 2, ys)
-            xs = jnp.where(sel, 2 * (idx % hb) + cd % 2, xs)
-            tile = jnp.where(hit, jnp.float32(-jnp.inf), tile)
-            return tile, vals, ys, xs
+            ys = jnp.where(sel, 2 * r + cd // 2, ys)
+            xs = jnp.where(sel, 2 * c + cd % 2, xs)
+            return rm, vals, ys, xs
 
         _, vals, ys, xs = jax.lax.fori_loop(
             0, k, body,
-            (best, jnp.zeros((k,), jnp.float32),
+            (rm0, jnp.zeros((k,), jnp.float32),
              jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32)))
         vals_ref[0, 0] = vals
         ys_ref[0, 0] = ys
@@ -168,6 +181,8 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
         out_shape=(jax.ShapeDtypeStruct((b, 1, k), jnp.float32),
                    jax.ShapeDtypeStruct((b, 1, k), jnp.int32),
                    jax.ShapeDtypeStruct((b, 1, k), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((hb, hb), jnp.float32),
+                        pltpu.VMEM((hb, hb), jnp.float32)],
         interpret=interpret,
     )(maps.astype(jnp.float32), jnp.asarray(ue_np), jnp.asarray(uo_np))
     return vals[:, 0], ys[:, 0], xs[:, 0]
