@@ -63,7 +63,6 @@ def _make_person(rng, h, w, box):
 
 def _paint(img, kps):
     import cv2
-    vis = kps[kps[:, 2] > 0]
     for a, b in DRAW_LIMBS:
         if kps[a, 2] > 0 and kps[b, 2] > 0:
             cv2.line(img, tuple(kps[a, :2].astype(int)),

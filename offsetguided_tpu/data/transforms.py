@@ -144,11 +144,16 @@ def square_pad(image, anns, meta):
     return center_pad(image, anns, meta, max(image.shape[:2]))
 
 
-def rightdown_pad(image, anns, meta, max_stride: int):
-    """Pad right/bottom to a multiple of max_stride (transforms/pad.py:71-122)."""
+def rightdown_pad(image, anns, meta, max_stride: int,
+                  w_multiple: int = None):
+    """Pad right/bottom to a multiple of max_stride (transforms/pad.py:71-122).
+
+    `w_multiple` overrides the width multiple only (fixed-height eval pads
+    widths to coarse buckets while the height keeps max_stride padding)."""
     h, w = image.shape[:2]
+    wm = w_multiple or max_stride
     bottom = (max_stride - h % max_stride) % max_stride
-    right = (max_stride - w % max_stride) % max_stride
+    right = (wm - w % wm) % wm
     image = cv2.copyMakeBorder(image, 0, bottom, 0, right,
                                cv2.BORDER_CONSTANT, value=PAD_RGB)
     meta = dict(meta)

@@ -131,7 +131,11 @@ class PostProcessor:
                       or (cfg.pallas_grouping == 'auto'
                           and jax.default_backend() == 'tpu'))
         if cfg.upsampled_decode:
-            if use_pallas and hmp.shape[1] == hmp.shape[2]:
+            # the fused kernel's parity-plane NMS is a fixed 3x3 window;
+            # other nms_kernel sizes must take the XLA chain (which honors
+            # cfg.nms_kernel) on every backend
+            if (use_pallas and hmp.shape[1] == hmp.shape[2]
+                    and cfg.nms_kernel == 3):
                 # fused peaks kernel: bicubic upsample + NMS + block-max +
                 # top-k in one Pallas program, full-res map never in HBM
                 limbs = dec_ops.collect_limbs_peak_fused(

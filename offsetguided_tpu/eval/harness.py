@@ -38,11 +38,14 @@ def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
     if cfg.fixed_height:
         image, anns, meta = T.rescale_high_absolute(image, anns, meta,
                                                     cfg.long_edge)
-        # pad width to the bucket multiple: bounds the number of distinct
-        # compiled programs over a variable-aspect-ratio epoch
+        # pad only the WIDTH to the bucket multiple (bounds the number of
+        # distinct compiled programs over a variable-aspect-ratio epoch);
+        # height keeps the plain max_stride padding
         bucket = max(cfg.width_bucket, cfg.max_stride)
         assert bucket % cfg.max_stride == 0, (bucket, cfg.max_stride)
-        image, anns, meta = T.rightdown_pad(image, anns, meta, bucket)
+        image, anns, meta = T.rightdown_pad(image, anns, meta,
+                                            cfg.max_stride,
+                                            w_multiple=bucket)
     else:
         image, anns, meta = T.rescale_long_absolute(image, anns, meta,
                                                     cfg.long_edge)

@@ -4,4 +4,5 @@ from .profiling import StageTimer, device_time, trace
 from .cache import enable_persistent_cache, host_cache_dir
 
 __all__ = ['AverageMeter', 'Throughput', 'configure', 'log_record',
-           'StageTimer', 'device_time', 'trace']
+           'StageTimer', 'device_time', 'trace',
+           'enable_persistent_cache', 'host_cache_dir']
