@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
-def cli():
+def cli(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('--image-dir', required=True)
     p.add_argument('--annotation-file', required=True)
@@ -44,11 +44,11 @@ def cli():
     p.add_argument('--debug-tiny-model', action='store_true',
                    help='narrow random-weight backbone: exercises the full '
                         'eval pipeline quickly (CI / smoke use)')
-    return p.parse_args()
+    return p.parse_args(argv)
 
 
-def main():
-    args = cli()
+def main(argv=None):
+    args = cli(argv)
     from offsetguided_tpu.config.defaults import (DecoderConfig, EvalConfig,
                                                   ModelConfig, SkeletonConfig)
     from offsetguided_tpu.decoder import PostProcessor
