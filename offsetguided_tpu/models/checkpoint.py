@@ -249,6 +249,12 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
             not k.startswith('module_list') else k
         sd[k] = np.asarray(v.detach().cpu().numpy()
                            if hasattr(v, 'detach') else v)
+    # bare-backbone checkpoints (the pretrained hourglass_104 file the
+    # reference warm-starts from, README.md:160 --basenet-checkpoint) carry
+    # keys without the NetworkWrapper's 'basenet.' prefix
+    if (not any(k.startswith('basenet.') for k in sd)
+            and any(k.startswith(('pre.', 'kps.')) for k in sd)):
+        sd = {f'basenet.{k}': v for k, v in sd.items()}
 
     params = jax.tree_util.tree_map(np.asarray, variables['params'])
     stats = jax.tree_util.tree_map(np.asarray, variables['batch_stats'])
@@ -257,6 +263,8 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
     missing: List[str] = []
 
     def put(fk: str, value, collection):
+        if value is None:
+            return              # absent torch key: keep the fresh init
         if fk in collection:
             if tuple(collection[fk].shape) == tuple(value.shape):
                 collection[fk] = value.astype(collection[fk].dtype)
@@ -266,33 +274,46 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
         else:
             missing.append(f'no flax param {fk}')
 
+    def get(tk: str):
+        """Partial checkpoints (backbone-only pretrain) simply lack keys;
+        mirror the reference's strict=False rescue (networks.py:92-96): the
+        fresh initialization stays, and the gap is reported."""
+        if tk in sd:
+            return sd[tk]
+        missing.append(f'no torch key {tk}')
+        return None
+
+    def conv(value):
+        return None if value is None else _t2f_conv(value)
+
     def load_convbn(flax_prefix, torch_prefix, seq=False):
         conv_t = f'{torch_prefix}.0' if seq else f'{torch_prefix}.conv'
         bn_t = f'{torch_prefix}.1' if seq else f'{torch_prefix}.bn'
-        put(f'{flax_prefix}/Conv_0/kernel', _t2f_conv(sd[f'{conv_t}.weight']),
+        put(f'{flax_prefix}/Conv_0/kernel', conv(get(f'{conv_t}.weight')),
             params)
         if f'{conv_t}.bias' in sd:
             put(f'{flax_prefix}/Conv_0/bias', sd[f'{conv_t}.bias'], params)
-        put(f'{flax_prefix}/BatchNorm_0/scale', sd[f'{bn_t}.weight'], params)
-        put(f'{flax_prefix}/BatchNorm_0/bias', sd[f'{bn_t}.bias'], params)
-        put(f'{flax_prefix}/BatchNorm_0/mean', sd[f'{bn_t}.running_mean'],
+        put(f'{flax_prefix}/BatchNorm_0/scale', get(f'{bn_t}.weight'), params)
+        put(f'{flax_prefix}/BatchNorm_0/bias', get(f'{bn_t}.bias'), params)
+        put(f'{flax_prefix}/BatchNorm_0/mean', get(f'{bn_t}.running_mean'),
             stats)
-        put(f'{flax_prefix}/BatchNorm_0/var', sd[f'{bn_t}.running_var'], stats)
+        put(f'{flax_prefix}/BatchNorm_0/var', get(f'{bn_t}.running_var'),
+            stats)
 
     def load_residual(flax_prefix, torch_prefix):
         names = [('conv1', 'bn1', 'Conv_0', 'BatchNorm_0'),
                  ('conv2', 'bn2', 'Conv_1', 'BatchNorm_1')]
         for conv_t, bn_t, conv_f, bn_f in names:
             put(f'{flax_prefix}/{conv_f}/kernel',
-                _t2f_conv(sd[f'{torch_prefix}.{conv_t}.weight']), params)
+                conv(get(f'{torch_prefix}.{conv_t}.weight')), params)
             put(f'{flax_prefix}/{bn_f}/scale',
-                sd[f'{torch_prefix}.{bn_t}.weight'], params)
+                get(f'{torch_prefix}.{bn_t}.weight'), params)
             put(f'{flax_prefix}/{bn_f}/bias',
-                sd[f'{torch_prefix}.{bn_t}.bias'], params)
+                get(f'{torch_prefix}.{bn_t}.bias'), params)
             put(f'{flax_prefix}/{bn_f}/mean',
-                sd[f'{torch_prefix}.{bn_t}.running_mean'], stats)
+                get(f'{torch_prefix}.{bn_t}.running_mean'), stats)
             put(f'{flax_prefix}/{bn_f}/var',
-                sd[f'{torch_prefix}.{bn_t}.running_var'], stats)
+                get(f'{torch_prefix}.{bn_t}.running_var'), stats)
         if f'{torch_prefix}.skip.0.weight' in sd:
             put(f'{flax_prefix}/Conv_2/kernel',
                 _t2f_conv(sd[f'{torch_prefix}.skip.0.weight']), params)
@@ -317,9 +338,9 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
 
     hp = 'PoseHeads_0'
     for flax_name, torch_prefix in _head_names(cfg):
-        put(f'{hp}/{flax_name}/kernel', _t2f_conv(sd[f'{torch_prefix}.weight']),
+        put(f'{hp}/{flax_name}/kernel', conv(get(f'{torch_prefix}.weight')),
             params)
-        put(f'{hp}/{flax_name}/bias', sd[f'{torch_prefix}.bias'], params)
+        put(f'{hp}/{flax_name}/bias', get(f'{torch_prefix}.bias'), params)
 
     converted = {
         'params': jax.tree_util.tree_map(

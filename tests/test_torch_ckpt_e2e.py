@@ -90,3 +90,67 @@ def test_evaluate_cli_with_pth(pth_file, tmp_path):
     assert isinstance(results, list) and results
     for r in results:
         assert 'image_id' in r and len(r['keypoints']) == 51
+
+
+def test_backbone_only_pretrain_partial_load(tmp_path):
+    """Reference-style backbone pretrain (README.md:160 --basenet-checkpoint):
+    bare 'pre./kps.' keys, no headnets. Backbone weights load, heads keep
+    their fresh init, and the gaps are reported -- the strict=False rescue
+    semantics of reference networks.py:74-96."""
+    torch.manual_seed(1)
+    cfg = eval_tiny_cfg()
+    replica = TNet(cfg)
+    bare = {k[len('basenet.'):]: v
+            for k, v in replica.state_dict().items()
+            if k.startswith('basenet.')
+            and not k.endswith('num_batches_tracked')}
+    path = str(tmp_path / 'hourglass_backbone.pth')
+    torch.save(bare, path)
+
+    model = PoseNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    converted, missing = C.load_torch_checkpoint(path, variables, cfg)
+    # all gaps are head keys, none are backbone keys
+    assert missing and all('headnets.' in m for m in missing), missing[:5]
+
+    before = C._flatten(jax.tree_util.tree_map(np.asarray,
+                                               variables['params']))
+    after = C._flatten(jax.tree_util.tree_map(np.asarray,
+                                              converted['params']))
+    for k in after:
+        if 'PoseHeads_0' in k:
+            np.testing.assert_array_equal(after[k], before[k])  # fresh init
+    stem = after['Hourglass104_0/ConvBN_0/Conv_0/kernel']
+    ref = np.transpose(bare['pre.0.conv.weight'].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(stem, ref)
+
+
+def test_train_tool_torch_warm_start(tmp_path):
+    """tools/train.py --torch-checkpoint runs optimizer steps from the
+    converted warm start."""
+    import pathlib
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), 'tools'))
+    from selfcheck import make_dataset
+    from train import main as train_main
+
+    root = tmp_path / 'ds'
+    make_dataset(pathlib.Path(root), n_images=2)
+    torch.manual_seed(2)
+    # the train tool's --debug-tiny-model config
+    cfg = ModelConfig(basenet='hourglass104', n_stacks=1, hg_order=2,
+                      dims=(16, 16, 24), modules=(1, 1, 1), cnv_dim=16,
+                      compute_dtype='float32', heads=HeadsConfig())
+    replica = TNet(cfg)
+    path = str(tmp_path / 'warm.pth')
+    torch.save({'model_state_dict': replica.state_dict()}, path)
+    train_main(['--train-image-dir', str(root / 'images'),
+                '--train-annotations', str(root / 'annotations.json'),
+                '--square-length', '64', '--max-persons', '4',
+                '--debug-tiny-model', '--n-stacks', '1',
+                '--batch-size', '2', '--max-steps', '2', '--print-freq', '1',
+                '--torch-checkpoint', path,
+                '--checkpoint-dir', str(tmp_path / 'ckpts')])
+    assert os.path.isdir(tmp_path / 'ckpts')

@@ -59,6 +59,10 @@ def cli(argv=None):
     g = p.add_argument_group('runtime')
     g.add_argument('--checkpoint-dir', default='checkpoints')
     g.add_argument('--resume', default=None)
+    g.add_argument('--torch-checkpoint', default=None,
+                   help='warm-start from a reference .pth (full network or '
+                        'backbone-only pretrain; reference README.md:160 '
+                        '--basenet-checkpoint / --checkpoint-whole)')
     g.add_argument('--drop-optim-state', action='store_true')
     g.add_argument('--recount-epoch', action='store_true')
     g.add_argument('--drop-layers', default=None)
@@ -156,6 +160,12 @@ def main(argv=None):
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, args.square_length, args.square_length, 3)),
         train=False)
+    if args.torch_checkpoint:
+        variables, unmatched = ckpt.load_torch_checkpoint(
+            args.torch_checkpoint, variables, model_cfg)
+        logger.info('torch warm start from %s (%d unmatched entries '
+                    'keep their fresh init)', args.torch_checkpoint,
+                    len(unmatched))
     schedule = step_lr_schedule(train_cfg, steps_per_epoch)
     tx = make_optimizer(train_cfg, schedule)
     if args.freeze:
