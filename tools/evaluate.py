@@ -34,6 +34,20 @@ def cli(argv=None):
     p.add_argument('--person-thre', type=float, default=0.06)
     p.add_argument('--lowres-decode', action='store_true',
                    help='decode at stride resolution (fast path)')
+    p.add_argument('--feat-stage', type=int, default=-1,
+                   help="which stack's predictions to decode")
+    p.add_argument('--min-len', type=float, default=0.5)
+    p.add_argument('--sort-dim', type=int, default=2, choices=[2, 4],
+                   help='pose ranking: 2=keypoint score, 4=limb score')
+    p.add_argument('--resize-mode', default='bicubic',
+                   choices=['bicubic', 'bilinear'])
+    p.add_argument('--no-jitter-refine', action='store_true',
+                   help='disable jitter-offset coordinate refinement')
+    p.add_argument('--no-scale', action='store_true',
+                   help='ignore inferred keypoint scales in the dist gate')
+    p.add_argument('--max-stride', type=int, default=128)
+    p.add_argument('--width-bucket', type=int, default=256,
+                   help='fixed-height mode: width padding bucket')
     p.add_argument('--scored-offset', action='store_true',
                    help='heatmap-weighted offset refinement before limb '
                         'collection (reference decoder/factory.py:70-72)')
@@ -87,11 +101,17 @@ def main(argv=None):
 
     pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig(
         topk=args.topk, thre_hmp=args.thre_hmp, dist_max=args.dist_max,
-        person_thre=args.person_thre,
+        person_thre=args.person_thre, min_len=args.min_len,
+        sort_dim=args.sort_dim, resize_mode=args.resize_mode,
+        feat_stage=args.feat_stage,
+        use_jitter_offset=not args.no_jitter_refine,
+        use_scale=not args.no_scale,
         upsampled_decode=not args.lowres_decode,
         scored_offset=args.scored_offset))
     eval_cfg = EvalConfig(long_edge=args.long_edge,
                           fixed_height=args.fixed_height,
+                          max_stride=args.max_stride,
+                          width_bucket=args.width_bucket,
                           flip_test=args.flip_test,
                           batch_size=args.batch_size)
 
@@ -102,7 +122,13 @@ def main(argv=None):
     if args.results_json:
         with open(args.results_json, 'w') as f:
             json.dump(results, f)
-    stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas)
+    if args.dataset == 'crowdpose':
+        # crowd-band protocol: AP plus easy/medium/hard crowdIndex bands
+        # (reference README.md:133-150 reports AP/APe/APm/APh)
+        from offsetguided_tpu.eval.cocoeval import evaluate_crowdpose_keypoints
+        stats = evaluate_crowdpose_keypoints(coco, results, skeleton.sigmas)
+    else:
+        stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas)
     for k, v in stats.items():
         print(f'{k}: {v:.4f}')
 

@@ -31,6 +31,23 @@ def cli(argv=None):
     g.add_argument('--max-persons', type=int, default=32)
     g.add_argument('--n-images', type=int, default=None)
 
+    g = p.add_argument_group('augmentation',
+                             description='warp-affine/photometric bounds '
+                                         '(reference data/factory.py:64-106)')
+    g.add_argument('--flip-prob', type=float, default=0.5)
+    g.add_argument('--max-rotate', type=float, default=45.0)
+    g.add_argument('--min-scale', type=float, default=0.5)
+    g.add_argument('--max-scale', type=float, default=2.0)
+    g.add_argument('--min-stretch', type=float, default=0.95)
+    g.add_argument('--max-stretch', type=float, default=1.05)
+    g.add_argument('--max-translate', type=int, default=150)
+
+    g = p.add_argument_group('encoder')
+    g.add_argument('--sigma', type=float, default=7.0)
+    g.add_argument('--gaussian-clip', type=float, default=0.01)
+    g.add_argument('--fill-jitter-size', type=int, default=3)
+    g.add_argument('--fill-scale-size', type=int, default=7)
+
     g = p.add_argument_group('model')
     g.add_argument('--basenet', default='hourglass104',
                    choices=['hourglass104', 'hourglass52', 'hourglass4stage'])
@@ -45,16 +62,43 @@ def cli(argv=None):
     g = p.add_argument_group('optimization')
     g.add_argument('--optimizer', default='adam', choices=['adam', 'sgd'])
     g.add_argument('--lr', type=float, default=1.25e-4)
+    g.add_argument('--momentum', type=float, default=0.9)
+    g.add_argument('--weight-decay', type=float, default=0.0)
+    g.add_argument('--max-grad-norm', type=float, default=None,
+                   help='global-norm gradient clipping (reference '
+                        '--max-grad-norm)')
     g.add_argument('--epochs', type=int, default=120)
     g.add_argument('--batch-size', type=int, default=16,
                    help='global batch size over all devices')
     g.add_argument('--warmup-epochs', type=int, default=0)
-    g.add_argument('--sqrt-re', action='store_true', default=True)
-    g.add_argument('--fgamma', type=float, default=2.0)
-    g.add_argument('--lambdas', type=float, nargs=5,
-                   default=[1.0, 0.0, 0.0, 10000.0, 10.0])
     g.add_argument('--freeze', default=None,
                    help='regex of parameter paths to freeze')
+
+    g = p.add_argument_group('losses',
+                             description='selection + weighting (reference '
+                                         'models/losses.py, factory.py:52-55)')
+    g.add_argument('--hmp-loss', default='focal_l2',
+                   choices=['l2', 'focal_l2'])
+    g.add_argument('--offset-loss', default='offset_instance_l1',
+                   choices=['offset_l1', 'offset_instance_l1',
+                            'offset_laplace'])
+    g.add_argument('--jitter-offset-loss', default='offset_l1',
+                   choices=['offset_l1', 'offset_instance_l1',
+                            'offset_laplace'])
+    g.add_argument('--scale-loss', default='scale_l1', choices=['scale_l1'])
+    g.add_argument('--sqrt-re', dest='sqrt_re', action='store_true',
+                   default=True)
+    g.add_argument('--no-sqrt-re', dest='sqrt_re', action='store_false')
+    g.add_argument('--ftao', type=float, default=0.01,
+                   help='focal-L2 fore/background threshold (TAU)')
+    g.add_argument('--fgamma', type=float, default=2.0)
+    g.add_argument('--lmargin', type=float, default=1e-5,
+                   help='offset-loss element margin (MARGIN)')
+    g.add_argument('--scale-margin', type=float, default=0.1,
+                   help='scale-loss margin (MARGIN2)')
+    g.add_argument('--lambdas', type=float, nargs=5,
+                   default=[1.0, 0.0, 0.0, 10000.0, 10.0])
+    g.add_argument('--stack-weights', type=float, nargs='+', default=None)
 
     g = p.add_argument_group('runtime')
     g.add_argument('--checkpoint-dir', default='checkpoints')
@@ -126,22 +170,37 @@ def main(argv=None):
     else:
         model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
                                 heads=heads)
-    enc_cfg = EncoderConfig(max_persons=args.max_persons)
-    loss_cfg = LossConfig(fgamma=args.fgamma, lambdas=tuple(args.lambdas),
-                          sqrt_re=args.sqrt_re,
-                          stack_weights=(1.0,) * args.n_stacks)
+    enc_cfg = EncoderConfig(max_persons=args.max_persons, sigma=args.sigma,
+                            gaussian_clip=args.gaussian_clip,
+                            fill_jitter_size=args.fill_jitter_size,
+                            fill_scale_size=args.fill_scale_size)
+    loss_cfg = LossConfig(
+        heatmap_loss=args.hmp_loss, offset_loss=args.offset_loss,
+        jitter_loss=args.jitter_offset_loss, scale_loss=args.scale_loss,
+        fgamma=args.fgamma, ftao=args.ftao, lambdas=tuple(args.lambdas),
+        offset_margin=args.lmargin, scale_margin=args.scale_margin,
+        sqrt_re=args.sqrt_re,
+        stack_weights=(tuple(args.stack_weights) if args.stack_weights
+                       else (1.0,) * args.n_stacks))
     n_dev = jax.device_count()
     train_cfg = TrainConfig(optimizer=args.optimizer,
                             learning_rate=args.lr * n_dev,
+                            momentum=args.momentum,
+                            weight_decay=args.weight_decay,
                             epochs=args.epochs, batch_size=args.batch_size,
                             warmup_epochs=args.warmup_epochs,
                             square_length=args.square_length,
                             checkpoint_dir=args.checkpoint_dir,
                             seed=args.seed)
 
+    aug_cfg = AugmentationConfig(
+        square_length=args.square_length, flip_prob=args.flip_prob,
+        max_rotate=args.max_rotate, min_scale=args.min_scale,
+        max_scale=args.max_scale, min_stretch=args.min_stretch,
+        max_stretch=args.max_stretch, max_translate=args.max_translate)
     dataset = CocoKeypoints(
         args.train_image_dir, args.train_annotations, skeleton=skeleton,
-        aug=AugmentationConfig(square_length=args.square_length),
+        aug=aug_cfg,
         square_length=args.square_length, max_persons=args.max_persons,
         n_images=args.n_images)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
@@ -168,6 +227,9 @@ def main(argv=None):
                     len(unmatched))
     schedule = step_lr_schedule(train_cfg, steps_per_epoch)
     tx = make_optimizer(train_cfg, schedule)
+    if args.max_grad_norm:
+        import optax
+        tx = optax.chain(optax.clip_by_global_norm(args.max_grad_norm), tx)
     if args.freeze:
         import optax
         # freeze_mask is True where trainable; zero gradients where frozen
