@@ -242,7 +242,7 @@ def test_demo_tool_smoke(coco_dir, tmp_path, monkeypatch):
                           heads=kw.get('heads', D.HeadsConfig())))
     argv_backup = sys.argv
     sys.argv = ['demo.py', img, '--long-edge', '64',
-                '--output-dir', str(tmp_path), '--show-heatmaps',
+                '--output-dir', str(tmp_path), '--show-hmp-idx', '0',
                 '--show-all-limbs', '--annotation-file', ann_file]
     try:
         demo.main()

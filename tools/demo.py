@@ -22,6 +22,9 @@ def cli():
     p.add_argument('--flip-test', action='store_true')
     p.add_argument('--output-dir', default='demo_out')
     p.add_argument('--show-heatmaps', action='store_true')
+    p.add_argument('--show-hmp-idx', type=int, default=None,
+                   help='overlay one heatmap channel instead of the '
+                        'channel max (reference demo_batch --show-hmp-idx)')
     p.add_argument('--show-limb-offsets', type=int, default=None,
                    help='limb index to quiver-plot')
     p.add_argument('--show-all-limbs', action='store_true',
@@ -127,10 +130,11 @@ def main():
         with image_canvas(raw, base + '.poses.png') as ax:
             painter.keypoints(ax, inv, scores=np.asarray(scores[0]))
         print(f'{path}: {n} poses -> {base}.poses.png')
-        if args.show_heatmaps:
+        if args.show_heatmaps or args.show_hmp_idx is not None:
             with image_canvas(img * 0.5 + 0.5, base + '.hmp.png') as ax:
                 heatmap_overlay(ax, img * 0.2 + 0.5,
-                                np.asarray(preds['hmp'][-1][0]))
+                                np.asarray(preds['hmp'][-1][0]),
+                                channel=args.show_hmp_idx)
         if args.show_limb_offsets is not None:
             with image_canvas(img * 0.5 + 0.5, base + '.omp.png') as ax:
                 draw_limb_offset(ax, np.asarray(preds['omp'][-1][0]),
