@@ -163,21 +163,35 @@ def _limb_update(subset, used, conns, jf, jt, cfg: DecoderConfig,
     kernel's grid shrinks from (n, L) sequential steps to (ceil(n/G), L).
     """
     # the limb collector emits +/-inf sentinels (off-image push, invalid
-    # distances); this dataflow gathers rows via one-hot MATMULS, where
-    # 0 * inf = NaN would poison entire skeletons. Clamping to +/-1e9
-    # preserves every comparison against finite thresholds exactly.
-    conns = jnp.clip(conns, -1e9, 1e9)
+    # distances), and flip-test merging can average opposing sentinels into
+    # NaN. The validity gate must use the RAW values so NaN/inf compare
+    # exactly like the XLA grouping (IEEE: any NaN comparison is false);
+    # elementwise ops handle non-finite values fine.
+    x1r, y1r, x2r, y2r = conns[:, 0], conns[:, 1], conns[:, 3], conns[:, 4]
+    deltar, scale2r = conns[:, 8], conns[:, 12]
+    if cfg.use_scale:
+        dist_valid = deltar < jnp.maximum(cfg.dist_max, scale2r)
+    else:
+        dist_valid = deltar < cfg.dist_max
+    valid = dist_valid & (x1r > 0) & (y1r > 0) & (x2r > 0) & (y2r > 0)
+    # ... but the dataflow gathers rows via one-hot MATMULS, where 0 * inf
+    # and 0 * NaN poison entire skeletons -- sanitize the values before any
+    # dot. Every surviving comparison is against finite thresholds on valid
+    # (finite) rows, so the clamp changes nothing there.
+    conns = jnp.where(conns != conns, jnp.float32(-1e9),
+                      jnp.clip(conns, -1e9, 1e9))
     # HIGHEST precision is required: the one-hot matmul gathers carry raw
     # keypoint flat indices (up to ~2.6M for 640^2 x4 upsampled maps), and the
     # TPU's default bf16x3 dot rounds them (~0.25 absolute at 2M), breaking
     # the joint-identity equality tests -> total skeleton fragmentation.
     # CPU XLA dots are exact f32, which is why only compiled-TPU runs broke.
     with jax.default_matmul_precision('highest'):
-        return _limb_update_body(subset, used, conns, jf, jt, cfg, n_img)
+        return _limb_update_body(subset, used, conns, valid, jf, jt, cfg,
+                                 n_img)
 
 
-def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig,
-                      n_img: int = 1):
+def _limb_update_body(subset, used, conns, valid, jf, jt,
+                      cfg: DecoderConfig, n_img: int = 1):
     K = conns.shape[0] // n_img          # per-image candidate count
     M = subset.shape[0] // n_img         # per-image skeleton capacity
     BK, BM = conns.shape[0], subset.shape[0]
@@ -191,17 +205,8 @@ def _limb_update_body(subset, used, conns, jf, jt, cfg: DecoderConfig,
         ri_eq = ri[:, None] == ri[None, :]
         ri_ci = ri[:, None] == ci[None, :]
 
-    x1, y1 = conns[:, 0], conns[:, 1]
-    x2, y2 = conns[:, 3], conns[:, 4]
     ind1, ind2 = conns[:, 6], conns[:, 7]
-    delta, score = conns[:, 8], conns[:, 10]
-    scale2 = conns[:, 12]
-
-    if cfg.use_scale:
-        dist_valid = delta < jnp.maximum(cfg.dist_max, scale2)
-    else:
-        dist_valid = delta < cfg.dist_max
-    valid = dist_valid & (x1 > 0) & (y1 > 0) & (x2 > 0) & (y2 > 0)
+    score = conns[:, 10]
 
     same = ind2[:, None] == ind2[None, :]
     if n_img > 1:

@@ -66,6 +66,11 @@ def test_grouping_with_inf_sentinels_and_fullres_inds(rng):
     batch[..., 0] = np.where(off, np.inf, batch[..., 0])
     batch[..., 1] = np.where(off, np.inf, batch[..., 1])
     batch[..., 8] = np.where(off, np.inf, batch[..., 8])
+    # flip-test merging averages opposing sentinels into NaN: poison a few
+    # whole rows plus one valid row's scale column (NaN scale must invalidate
+    # the row through the IEEE false-compare, reference numpy semantics)
+    batch[:, ::3, -1, :] = np.nan
+    batch[:, 1, 0, 12] = np.nan
     b = jnp.asarray(batch, jnp.float32)
 
     p1, s1, c1 = group_skeletons(b, SK, cfg)
