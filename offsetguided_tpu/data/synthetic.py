@@ -153,11 +153,17 @@ def make_hard_dataset(root: str, n_images: int = 100, seed: int = 0,
         images.append({'id': img_id, 'file_name': name,
                        'height': int(h), 'width': int(w)})
 
+    from ..config import COCO_KEYPOINTS, COCO_PERSON_SKELETON
     ann_file = os.path.join(root, 'annotations.json')
     with open(ann_file, 'w') as f:
+        # standard COCO category record (keypoint NAMES + 1-based skeleton) so
+        # the file also works with external pycocotools-based tooling
         json.dump({'images': images, 'annotations': annotations,
-                   'categories': [{'id': 1, 'name': 'person',
-                                   'keypoints': list(range(17))}]}, f)
+                   'categories': [{
+                       'id': 1, 'name': 'person',
+                       'keypoints': list(COCO_KEYPOINTS),
+                       'skeleton': [[a + 1, b + 1]
+                                    for a, b in COCO_PERSON_SKELETON]}]}, f)
     return img_dir, ann_file
 
 

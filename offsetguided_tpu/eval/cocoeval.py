@@ -71,11 +71,15 @@ class KeypointEval:
     # ------------------------------------------------------------------ #
     def evaluate_image(self, gts: List[Dict], dts: List[Dict],
                        area_rng) -> Optional[ImageEval]:
-        gts = [g for g in gts if not g.get('iscrowd')]
         if not gts and not dts:
             return None
+        # pycocotools _prepare: crowd GTs are kept as ignorable matches (a
+        # detection overlapping a crowd region is matched-and-ignored via the
+        # bbox-distance OKS fallback), never dropped. For keypoints,
+        # num_keypoints == 0 also forces ignore.
         for g in gts:
-            ignore = (g.get('ignore', 0) or g.get('num_keypoints', 0) == 0
+            ignore = (g.get('ignore', 0) or bool(g.get('iscrowd'))
+                      or g.get('num_keypoints', 0) == 0
                       or g['area'] < area_rng[0] or g['area'] > area_rng[1])
             g['_ignore'] = bool(ignore)
         # sort: non-ignored gts first (pycocotools order)
@@ -94,6 +98,7 @@ class KeypointEval:
                                          self.sigmas)
 
         gt_ig = np.array([g['_ignore'] for g in gts], dtype=bool)
+        gt_crowd = np.array([bool(g.get('iscrowd')) for g in gts], dtype=bool)
         dt_m = np.zeros((T, D), dtype=np.int64)
         dt_ig = np.zeros((T, D), dtype=bool)
         for t, thr in enumerate(IOU_THRS):
@@ -102,7 +107,10 @@ class KeypointEval:
                 best_iou = min(thr, 1 - 1e-10)
                 best_j = -1
                 for j in range(G):
-                    if gt_matched[j]:
+                    # a crowd gt may absorb any number of detections
+                    # (pycocotools: "if this gt already matched, and not a
+                    # crowd, continue")
+                    if gt_matched[j] and not gt_crowd[j]:
                         continue
                     # stop at ignored gts once a real match was found
                     if best_j >= 0 and not gt_ig[best_j] and gt_ig[j]:
@@ -205,13 +213,14 @@ class KeypointEval:
 
 
 def _kp_area(kps) -> float:
-    """Fallback detection area: enclosing box of positive keypoints."""
+    """Fallback detection area: enclosing box of ALL keypoint positions,
+    matching pycocotools COCO.loadRes (which boxes x[0::3]/y[0::3] without
+    filtering zeros/visibility)."""
     k = np.asarray(kps, dtype=np.float64).reshape(-1, 3)
-    pos = (k[:, 0] > 0) | (k[:, 1] > 0)
-    if not pos.any():
+    if not len(k):
         return 0.0
-    w = k[pos, 0].max() - k[pos, 0].min()
-    h = k[pos, 1].max() - k[pos, 1].min()
+    w = k[:, 0].max() - k[:, 0].min()
+    h = k[:, 1].max() - k[:, 1].min()
     return float(w * h)
 
 

@@ -42,7 +42,11 @@ def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
         # distinct compiled programs over a variable-aspect-ratio epoch);
         # height keeps the plain max_stride padding
         bucket = max(cfg.width_bucket, cfg.max_stride)
-        assert bucket % cfg.max_stride == 0, (bucket, cfg.max_stride)
+        if bucket % cfg.max_stride != 0:
+            raise ValueError(
+                f'--width-bucket ({cfg.width_bucket}) must be a multiple of '
+                f'--max-stride ({cfg.max_stride}); effective bucket {bucket} '
+                f'is not')
         image, anns, meta = T.rightdown_pad(image, anns, meta,
                                             cfg.max_stride,
                                             w_multiple=bucket)

@@ -342,6 +342,20 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
             params)
         put(f'{hp}/{flax_name}/bias', get(f'{torch_prefix}.bias'), params)
 
+    # a bare-backbone pretrain file is EXPECTED to lack head keys; a
+    # full-network checkpoint missing BACKBONE keys is a truncated/corrupt
+    # file and would silently evaluate with partially random weights
+    bb_missing = [m for m in missing
+                  if m.startswith('no torch key basenet.')]
+    if bb_missing:
+        import logging as _logging
+        _logging.getLogger(__name__).warning(
+            'torch checkpoint is missing %d BACKBONE keys (e.g. %s) - the '
+            'converted model keeps fresh-random weights there. This is NOT '
+            'the expected backbone-only warm-start case; the file is likely '
+            'truncated or from a different architecture.',
+            len(bb_missing), bb_missing[:3])
+
     converted = {
         'params': jax.tree_util.tree_map(
             jnp.asarray, _unflatten(params)),

@@ -92,6 +92,14 @@ def topk_channel_blockreduce(scores: jax.Array, k: int, block: int = 2,
     `lax.top_k` is value-exact while cutting the sort size by block^2 --
     the full-resolution top-k dominates decode cost otherwise.
 
+    Tie bound (tested in tests/test_decoder.py::test_blockreduce_*): two
+    EQUAL adjacent peaks both survive NMS; if they share one 2x2 block they
+    collapse to a single candidate here (plain `topk_channel` would return
+    the value twice, one pixel apart) and the freed slot takes the next
+    true peak. Equal peaks in different blocks are exact. The collapsed
+    duplicate is a redundant 1px-apart detection of the same joint, so
+    grouping output is unaffected in practice.
+
     Returns the same (scores, flat_inds, ys, xs) as `topk_channel`.
     """
     assert block == 2, 'exactness argument only holds for 2x2 blocks'

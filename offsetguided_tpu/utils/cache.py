@@ -14,6 +14,9 @@ import hashlib
 
 
 def _host_fingerprint() -> str:
+    """CPU-feature hash, or '' when the host exposes nothing distinguishing
+    (callers must then DISABLE the persistent cache rather than share a
+    constant key across unknown hosts)."""
     try:
         with open('/proc/cpuinfo') as f:
             for line in f:
@@ -22,17 +25,25 @@ def _host_fingerprint() -> str:
     except OSError:
         pass
     import platform
-    return hashlib.md5(platform.processor().encode()).hexdigest()[:10]
+    u = platform.uname()
+    blob = '|'.join((platform.processor(), u.machine, u.system, u.version))
+    if blob.strip('|'):
+        return hashlib.md5(blob.encode()).hexdigest()[:10]
+    return ''
 
 
 def host_cache_dir(base: str) -> str:
-    """'/tmp/jax_x_cache' -> '/tmp/jax_x_cache_<cpu-flags-hash>'."""
-    return f'{base}_{_host_fingerprint()}'
+    """'/tmp/jax_x_cache' -> '/tmp/jax_x_cache_<cpu-flags-hash>', or '' when
+    the host cannot be fingerprinted (cache must stay off)."""
+    fp = _host_fingerprint()
+    return f'{base}_{fp}' if fp else ''
 
 
 def enable_persistent_cache(base: str, min_compile_secs: float = 1.0) -> str:
     import jax
     path = host_cache_dir(base)
+    if not path:
+        return ''   # unidentifiable host: a shared key risks foreign-AOT SIGILL
     jax.config.update('jax_compilation_cache_dir', path)
     jax.config.update('jax_persistent_cache_min_compile_time_secs',
                       min_compile_secs)

@@ -81,6 +81,103 @@ def test_false_positives_hurt_precision(rng):
     assert stats['AP'] < 1.0
 
 
+def make_crowd_gt(img_id, ann_id, bbox=(300.0, 300.0, 200.0, 200.0),
+                  area=40000.0):
+    """Crowd region annotation: iscrowd=1, no labeled keypoints (the COCO
+    convention for person crowds)."""
+    return {'id': ann_id, 'image_id': img_id,
+            'keypoints': [0.0] * 51, 'num_keypoints': 0,
+            'area': area, 'bbox': list(bbox), 'iscrowd': 1}
+
+
+def dt_at(img_id, x, y, score):
+    kps = np.tile([x, y, 1.0], 17).astype(np.float64)
+    return {'image_id': img_id, 'keypoints': kps.tolist(), 'score': score}
+
+
+def test_crowd_gt_absorbs_detection(rng):
+    """pycocotools semantics: a detection overlapping an iscrowd GT is
+    matched-and-ignored (bbox-distance OKS fallback), never a false positive.
+    Reference acceptance metric: /root/reference/evaluate.py:303-328."""
+    ev = KeypointEval(COCO_PERSON_SIGMAS)
+    g = make_gt(rng, 0, 1)
+    crowd = make_crowd_gt(0, 999)
+    dt_real = dt_from_gt(g[0], score=0.9)
+    # all keypoints inside the crowd bbox -> bbox-fallback OKS == 1.0
+    dt_in_crowd = dt_at(0, 350.0, 350.0, score=0.95)
+    stats = ev.run({0: g + [crowd]}, {0: [dt_real, dt_in_crowd]})
+    assert abs(stats['AP'] - 1.0) < 1e-6, \
+        'detection on crowd region must be ignored, not an FP'
+    # crowd GT must not inflate the recall denominator
+    assert abs(stats['AR'] - 1.0) < 1e-6
+
+
+def test_crowd_gt_absorbs_multiple_detections(rng):
+    """A single crowd GT may be matched by any number of detections
+    (pycocotools: 'if this gt already matched, and not a crowd, continue')."""
+    ev = KeypointEval(COCO_PERSON_SIGMAS)
+    g = make_gt(rng, 0, 1)
+    crowd = make_crowd_gt(0, 999)
+    dts = [dt_from_gt(g[0], score=0.9),
+           dt_at(0, 320.0, 330.0, 0.95),
+           dt_at(0, 480.0, 470.0, 0.93)]
+    stats = ev.run({0: g + [crowd]}, {0: dts})
+    assert abs(stats['AP'] - 1.0) < 1e-6
+
+
+def test_false_positive_precision_envelope(rng):
+    """Hand-computed AP: 2 GTs; perfect dt on A (s=0.9), FP (s=0.8), perfect
+    dt on B (s=0.7). Every threshold: tp=[1,0,1] -> rc=[.5,.5,1],
+    pr=[1,.5,2/3], envelope [1,2/3,2/3]; 101-pt AP =
+    (51*1 + 50*2/3)/101."""
+    ev = KeypointEval(COCO_PERSON_SIGMAS)
+    g = make_gt(rng, 0, 2)
+    far = dt_at(0, 5000.0, 5000.0, 0.8)      # overlaps nothing
+    dts = [dt_from_gt(g[0], score=0.9), far, dt_from_gt(g[1], score=0.7)]
+    stats = ev.run({0: g}, {0: dts})
+    expected = (51 * 1.0 + 50 * (2.0 / 3.0)) / 101
+    assert abs(stats['AP'] - expected) < 1e-9
+    assert abs(stats['AP50'] - expected) < 1e-9
+
+
+def test_out_of_area_unmatched_detection_ignored(rng):
+    """An unmatched detection whose area falls outside the range is ignored
+    for that range (pycocotools dtIg |= (dtm==0) & out-of-range), so a tiny
+    spurious detection cannot hurt AP-large."""
+    ev = KeypointEval(COCO_PERSON_SIGMAS)
+    g = make_gt(rng, 0, 1, area=90000)       # large GT
+    # detection spanning ~10px -> kp-box area ~100 < 96^2, out of 'large' rng
+    kps = np.tile([1000.0, 1000.0, 1.0], 17).astype(np.float64)
+    kps[0::3] += np.linspace(0, 10, 17)
+    tiny = {'image_id': 0, 'keypoints': kps.tolist(), 'score': 0.99}
+    stats = ev.run({0: g}, {0: [dt_from_gt(g[0], score=0.9), tiny]})
+    assert abs(stats['APl'] - 1.0) < 1e-6, \
+        'out-of-range unmatched detection must be ignored for APl'
+    assert stats['AP'] < 1.0, 'but in the all-range it is a real FP'
+
+
+def test_kp_area_uses_all_keypoint_positions():
+    """loadRes boxes ALL keypoint positions (x[0::3]/y[0::3]) without
+    filtering zeros; a detection with some (0,0) keypoints gets the box that
+    includes the origin."""
+    from offsetguided_tpu.eval.cocoeval import _kp_area
+    kps = [0.0, 0.0, 0.0] * 10 + [100.0, 50.0, 2.0] * 7
+    assert abs(_kp_area(kps) - 100.0 * 50.0) < 1e-9
+
+
+def test_num_keypoints_zero_gt_is_ignored(rng):
+    """A non-crowd GT with num_keypoints == 0 is ignore-matchable: missing it
+    costs no recall, matching it costs no precision."""
+    ev = KeypointEval(COCO_PERSON_SIGMAS)
+    g = make_gt(rng, 0, 1)
+    empty = {'id': 7, 'image_id': 0, 'keypoints': [0.0] * 51,
+             'num_keypoints': 0, 'area': 10000.0,
+             'bbox': [600.0, 600.0, 100.0, 100.0], 'iscrowd': 0}
+    stats = ev.run({0: g + [empty]}, {0: [dt_from_gt(g[0], score=0.9)]})
+    assert abs(stats['AP'] - 1.0) < 1e-6
+    assert abs(stats['AR'] - 1.0) < 1e-6
+
+
 def test_crowdpose_bands(rng, tmp_path):
     import json
     from offsetguided_tpu.config.crowdpose import CROWDPOSE_SIGMAS

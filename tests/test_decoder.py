@@ -137,3 +137,81 @@ def test_scored_offset_matches_torch(rng):
     ref = (somap_s.view(n, L, 2, h, w) / (mean_score.unsqueeze(2) + 1e-6))
     ref = ref.view(n, 2 * L, h, w).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def _isolated_peak_map(peaks, h=32, w=48, c=1):
+    """(value, y, x) peaks painted on a zero background; all peaks must be
+    >3px apart unless a tie geometry is wanted."""
+    m = np.zeros((1, h, w, c), np.float32)
+    for v, y, x in peaks:
+        m[0, y, x, 0] = v
+    return m
+
+
+def test_blockreduce_cross_block_ties_exact():
+    """Equal-valued peaks in DIFFERENT 2x2 blocks must all survive the
+    block-max pre-reduction: values and the position SET match plain
+    topk_channel exactly (ordering among equal values may differ)."""
+    peaks = [(5.0, 10, 8), (5.0, 10, 20), (5.0, 20, 8),   # exact 3-way tie
+             (4.0, 4, 40), (3.0, 26, 30)]
+    x = jnp.asarray(_isolated_peak_map(peaks))
+    nmsed = dec.hmp_nms(x)
+    k = 5
+    s1, i1, _, _ = dec.topk_channel(nmsed, k)
+    s2, i2, _, _ = dec.topk_channel_blockreduce(nmsed, k)
+    np.testing.assert_array_equal(np.sort(np.asarray(s1).ravel()),
+                                  np.sort(np.asarray(s2).ravel()))
+    assert set(np.asarray(i1).ravel().tolist()) == \
+        set(np.asarray(i2).ravel().tolist())
+
+
+def test_blockreduce_same_block_adjacent_tie_collapses():
+    """Documented bound (ops/decoder.py::topk_channel_blockreduce): two
+    equal adjacent peaks that BOTH survive 3x3 NMS (exact-value tie) and
+    fall in the SAME 2x2 block collapse to one candidate; the freed slot
+    takes the next-highest peak. Everything else stays exact."""
+    # (10,10) and (10,11) are adjacent, equal, and share block (5, 5)
+    peaks = [(5.0, 10, 10), (5.0, 10, 11), (4.0, 4, 40), (3.0, 26, 30),
+             (2.0, 20, 4)]
+    x = jnp.asarray(_isolated_peak_map(peaks))
+    nmsed = dec.hmp_nms(x)
+    # both tied peaks survive NMS (each equals its 3x3 window max)
+    surv = np.asarray(nmsed)[0, :, :, 0]
+    assert surv[10, 10] == 5.0 and surv[10, 11] == 5.0
+    k = 5
+    s1, i1, _, _ = dec.topk_channel(nmsed, k)
+    s2, i2, y2, x2 = dec.topk_channel_blockreduce(nmsed, k)
+    s1, s2 = np.asarray(s1).ravel(), np.asarray(s2).ravel()
+    assert (s1 == 5.0).sum() == 2          # plain top-k keeps the duplicate
+    assert (s2 == 5.0).sum() == 1          # block-reduce collapses it
+    # the representative is one of the tied positions
+    assert (int(np.asarray(y2).ravel()[0]), int(np.asarray(x2).ravel()[0])) \
+        in {(10, 10), (10, 11)}
+    # remaining slots are the next-highest true peaks, in order
+    np.testing.assert_array_equal(s2[1:4], [4.0, 3.0, 2.0])
+
+
+def test_blockreduce_bf16_quantized_parity(rng):
+    """bf16-quantized heatmaps (the TPU compute dtype) create exact-value
+    ties at unrelated positions; value multisets must still match plain
+    topk_channel, and any same-block collapse must obey the documented
+    bound (no silently wrong values)."""
+    x = rng.rand(2, 32, 48, 5).astype(np.float32)
+    x = np.asarray(jnp.asarray(x, jnp.bfloat16).astype(jnp.float32))
+    nmsed = dec.hmp_nms(jnp.asarray(x))
+    k = 8
+    s1, i1, _, _ = dec.topk_channel(nmsed, k)
+    for use_pallas in (False, True):
+        s2, i2, _, _ = dec.topk_channel_blockreduce(
+            nmsed, k, use_pallas=use_pallas, pallas_interpret=use_pallas)
+        a = np.sort(np.asarray(s1).reshape(-1, k), axis=-1)
+        b = np.sort(np.asarray(s2).reshape(-1, k), axis=-1)
+        # identical unless a same-block adjacent tie collapsed; detect that
+        # case exactly and require the only divergence to be the collapse
+        for row_a, row_b in zip(a, b):
+            if not np.array_equal(row_a, row_b):
+                # row_b must be row_a with one duplicated value removed and
+                # one extra (smaller) candidate appended at the bottom
+                diff = [v for v in row_a if list(row_a).count(v) >
+                        list(row_b).count(v)]
+                assert diff, (row_a, row_b)

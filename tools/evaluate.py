@@ -58,7 +58,12 @@ def cli(argv=None):
     p.add_argument('--debug-tiny-model', action='store_true',
                    help='narrow random-weight backbone: exercises the full '
                         'eval pipeline quickly (CI / smoke use)')
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    bucket = max(args.width_bucket, args.max_stride)
+    if bucket % args.max_stride != 0:
+        p.error(f'--width-bucket ({args.width_bucket}) must be a multiple of '
+                f'--max-stride ({args.max_stride})')
+    return args
 
 
 def main(argv=None):
