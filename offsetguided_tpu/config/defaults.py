@@ -111,6 +111,15 @@ class DecoderConfig:
     scored_offset: bool = False
     # 'auto': single fused Pallas grouping kernel on TPU, XLA elsewhere
     pallas_grouping: str = 'auto'     # 'auto' | 'on' | 'off'
+    # extra merge-only passes AFTER the last limb iteration. Our grouping
+    # merges at most one mergee per target row per iteration (remaining
+    # pairs settle on later iterations); without settling, pairs still
+    # unresolved after the final limb would dangle as separate partial
+    # poses. The reference instead merges all pairs at once from a
+    # pre-merge snapshot, LOSING chained mergees' keypoints
+    # (decoder/group.py:140-155); settling converges to the lossless
+    # transitive closure. See tests/test_grouping_adversarial.py.
+    settle_passes: int = 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -217,3 +226,7 @@ class EvalConfig:
     flip_test: bool = True
     batch_size: int = 8
     cat_flip_offsets: bool = False
+    # host-side parallelism: IO/preprocess threads feeding the device loop
+    # (cv2 releases the GIL in imread/warp; the reference gets the same
+    # overlap from DataLoader workers, evaluate.py:171-182)
+    io_workers: int = 4

@@ -122,35 +122,134 @@ class ImageList:
                 'meta': {'dataset_index': index, 'file_name': path}}
 
 
+def _batch_rng(seed: int, epoch: int, batch_index: int) -> np.random.RandomState:
+    """Augmentation RNG derived from (seed, epoch, batch) alone, so batch
+    contents are identical for any worker count (serial, threaded, N
+    processes) -- stronger than torch DataLoader's per-worker streams."""
+    return np.random.RandomState(
+        (seed * 1000003 + epoch * 8191 + batch_index) % (2 ** 31 - 1))
+
+
+def _make_batch(dataset: CocoKeypoints, idx, rng, epoch: int) -> Dict:
+    samples = [dataset.get(int(i), rng) for i in idx]
+    return {
+        'image': np.stack([s['image'] for s in samples]),
+        'anns': np.stack([s['anns'] for s in samples]),
+        'mask_miss': np.stack([s['mask_miss'] for s in samples]),
+        'metas': [s['meta'] for s in samples],
+        'epoch': epoch,
+    }
+
+
+def _batch_plan(dataset, batch_size, seed, shuffle, drop_last, epochs):
+    """Yields (global_batch_index, epoch, index_array). The shuffle stream
+    depends only on `seed`, never on worker count."""
+    order_rng = np.random.RandomState(seed)
+    epoch, gb = 0, 0
+    while epochs is None or epoch < epochs:
+        order = np.arange(len(dataset))
+        if shuffle:
+            order_rng.shuffle(order)
+        for start in range(0, len(order), batch_size):
+            idx = order[start:start + batch_size]
+            if len(idx) < batch_size and drop_last:
+                continue
+            yield gb, epoch, idx
+            gb += 1
+        epoch += 1
+
+
+def _worker_loop(dataset, seed, task_q, result_q):
+    """Aug worker process: no jax, no device access (cv2 + numpy only)."""
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        gb, epoch, idx = task
+        try:
+            batch = _make_batch(dataset, idx, _batch_rng(seed, epoch, gb),
+                                epoch)
+            result_q.put((gb, batch, None))
+        except Exception as e:          # surface in the parent, don't hang
+            result_q.put((gb, None, f'{type(e).__name__}: {e}'))
+
+
+def _mp_batch_iterator(dataset, batch_size, seed, shuffle, drop_last,
+                       prefetch, epochs, num_workers) -> Iterator[Dict]:
+    """N-process augmentation pool (reference data/factory.py:109-156
+    num_workers equivalent). Batches are handed out round-robin and re-ordered
+    in the parent, so iteration order matches the serial path exactly."""
+    import multiprocessing as mp
+    ctx = mp.get_context('spawn')       # never fork a jax-initialized parent
+    task_q = ctx.Queue()
+    result_q = ctx.Queue(maxsize=max(prefetch, num_workers) + 1)
+    workers = [ctx.Process(target=_worker_loop,
+                           args=(dataset, seed, task_q, result_q),
+                           daemon=True)
+               for _ in range(num_workers)]
+    for w in workers:
+        w.start()
+    plan = _batch_plan(dataset, batch_size, seed, shuffle, drop_last, epochs)
+    max_in_flight = num_workers + max(prefetch, 1)
+    pending: Dict[int, Dict] = {}
+    try:
+        in_flight, next_emit, exhausted = 0, 0, False
+        while True:
+            while in_flight < max_in_flight and not exhausted:
+                task = next(plan, None)
+                if task is None:
+                    exhausted = True
+                    break
+                task_q.put(task)
+                in_flight += 1
+            if in_flight == 0:
+                return
+            gb, batch, err = result_q.get()
+            in_flight -= 1
+            if err is not None:
+                raise RuntimeError(f'data worker failed on batch {gb}: {err}')
+            pending[gb] = batch
+            while next_emit in pending:
+                yield pending.pop(next_emit)
+                next_emit += 1
+    finally:
+        for _ in workers:
+            task_q.put(None)
+        for w in workers:
+            w.join(timeout=2.0)
+            if w.is_alive():
+                w.terminate()
+
+
 def batch_iterator(dataset: CocoKeypoints, batch_size: int, *,
                    seed: int = 0, shuffle: bool = True,
                    drop_last: bool = True, prefetch: int = 2,
-                   epochs: Optional[int] = None) -> Iterator[Dict]:
-    """Threaded prefetching batch iterator yielding stacked numpy batches."""
+                   epochs: Optional[int] = None,
+                   num_workers: int = 0) -> Iterator[Dict]:
+    """Prefetching batch iterator yielding stacked numpy batches.
+
+    num_workers=0: one background producer thread (IO/aug overlap only).
+    num_workers>0: that many augmentation processes (the reference's
+    DataLoader num_workers, data/factory.py:109-156). Batch contents and
+    order are identical for every worker count (per-batch derived RNG).
+    """
+    if num_workers > 0:
+        yield from _mp_batch_iterator(dataset, batch_size, seed, shuffle,
+                                      drop_last, prefetch, epochs,
+                                      num_workers)
+        return
     stop = object()
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
     def producer():
-        epoch = 0
-        rng = np.random.RandomState(seed)
-        while epochs is None or epoch < epochs:
-            order = np.arange(len(dataset))
-            if shuffle:
-                rng.shuffle(order)
-            for start in range(0, len(order), batch_size):
-                idx = order[start:start + batch_size]
-                if len(idx) < batch_size and drop_last:
-                    continue
-                samples = [dataset.get(int(i), rng) for i in idx]
-                batch = {
-                    'image': np.stack([s['image'] for s in samples]),
-                    'anns': np.stack([s['anns'] for s in samples]),
-                    'mask_miss': np.stack([s['mask_miss'] for s in samples]),
-                    'metas': [s['meta'] for s in samples],
-                    'epoch': epoch,
-                }
-                q.put(batch)
-            epoch += 1
+        try:
+            for gb, epoch, idx in _batch_plan(dataset, batch_size, seed,
+                                              shuffle, drop_last, epochs):
+                q.put(_make_batch(dataset, idx,
+                                  _batch_rng(seed, epoch, gb), epoch))
+        except Exception as e:
+            q.put(e)
+            return
         q.put(stop)
 
     t = threading.Thread(target=producer, daemon=True)
@@ -159,4 +258,6 @@ def batch_iterator(dataset: CocoKeypoints, batch_size: int, *,
         item = q.get()
         if item is stop:
             return
+        if isinstance(item, Exception):
+            raise item
         yield item

@@ -109,6 +109,24 @@ def poses_to_coco_results(poses: np.ndarray, image_id: int) -> List[Dict]:
     return results
 
 
+def _load_eval_image(coco: CocoJson, image_dir: str, img_id: int,
+                     cfg: EvalConfig, n_keypoints: int):
+    """IO + preprocess for one image; (img_id, float_image|None, meta|None).
+    Runs on a worker thread (cv2 releases the GIL in imread/warpAffine)."""
+    info = coco.image_info(img_id)
+    path = os.path.join(image_dir, info['file_name'])
+    img = cv2.imread(path)
+    if img is None:
+        logging.getLogger(__name__).warning(
+            'unreadable image %s (id %s): emitting dummy record',
+            path, img_id)
+        return img_id, None, None
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    fimg, _, meta = preprocess_eval(
+        img, np.zeros((0, n_keypoints, 4), np.float32), cfg, n_keypoints)
+    return img_id, fimg, meta
+
+
 def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
                image_dir: str, cfg: EvalConfig,
                n_images: Optional[int] = None,
@@ -116,8 +134,17 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
                progress: bool = False, all_images: bool = False):
     """Evaluate the model over a COCO image set; returns result dicts.
 
+    Host parallelism (reference gets this from DataLoader workers,
+    evaluate.py:171-182): `cfg.io_workers` threads run imread+resize+pad
+    ahead of the device loop through a bounded ordered window, and the
+    device result of batch N is fetched only AFTER batch N+1's inference
+    has been dispatched, overlapping host postprocess with device compute
+    (jax dispatch is async).
+
     all_images: include images without person annotations (test-dev protocol,
     reference evaluate.py:117-118)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     skeleton = skeleton or SkeletonConfig()
     ids = coco.image_ids(with_persons=not all_images)
     if n_images:
@@ -126,50 +153,73 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
     infer = make_infer_fn(model, variables, pp, cfg.flip_test)
 
     results: List[Dict] = []
-    batch_imgs, batch_metas, batch_ids = [], [], []
+    pending = None          # (device_out, metas, ids, n) awaiting host fetch
 
-    def flush():
-        if not batch_imgs:
+    def drain():
+        nonlocal pending
+        if pending is None:
             return
-        n = len(batch_imgs)
-        while len(batch_imgs) < batch_size:   # pad partial batch
-            batch_imgs.append(np.zeros_like(batch_imgs[0]))
-        images = jnp.asarray(np.stack(batch_imgs))
-        poses, scores, counts = infer(images)
+        (poses, _, counts), metas, bids, n = pending
+        pending = None
         poses = np.asarray(poses)
         counts = np.asarray(counts)
         for i in range(n):
             # drop zero-padded pose rows BEFORE the inverse transform (it
             # would shift them into spurious nonzero detections)
             valid = poses[i][:int(counts[i])]
-            inv = T.annotations_inverse(valid, batch_metas[i])
-            results.extend(poses_to_coco_results(inv, batch_ids[i]))
-        batch_imgs.clear(); batch_metas.clear(); batch_ids.clear()
+            inv = T.annotations_inverse(valid, metas[i])
+            results.extend(poses_to_coco_results(inv, bids[i]))
 
-    for idx, img_id in enumerate(ids):
-        info = coco.image_info(img_id)
-        path = os.path.join(image_dir, info['file_name'])
-        img = cv2.imread(path)
-        if img is None:
-            # test-dev protocol: every image must produce a record
-            logging.getLogger(__name__).warning(
-                'unreadable image %s (id %s): emitting dummy record',
-                path, img_id)
-            results.extend(poses_to_coco_results(
-                np.zeros((0, skeleton.n_keypoints, 6), np.float32), img_id))
-            continue
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        fimg, _, meta = preprocess_eval(
-            img, np.zeros((0, skeleton.n_keypoints, 4), np.float32), cfg,
-            skeleton.n_keypoints)
-        batch_imgs.append(fimg)
-        batch_metas.append(meta)
-        batch_ids.append(img_id)
-        if len(batch_imgs) == batch_size:
-            flush()
-        if progress and idx % 100 == 0:
-            print(f'eval {idx}/{len(ids)}')
-    flush()
+    def dispatch(batch_imgs, batch_metas, batch_ids):
+        n = len(batch_imgs)
+        while len(batch_imgs) < batch_size:   # pad partial batch
+            batch_imgs.append(np.zeros_like(batch_imgs[0]))
+        out = infer(jnp.asarray(np.stack(batch_imgs)))
+        return out, list(batch_metas), list(batch_ids), n
+
+    n_workers = max(1, cfg.io_workers)
+    window = max(batch_size * 2, n_workers * 2)
+    batch_imgs, batch_metas, batch_ids = [], [], []
+    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+        futures = []
+        submitted = 0
+
+        def submit_more():
+            nonlocal submitted
+            while submitted < len(ids) and len(futures) < window:
+                futures.append(ex.submit(
+                    _load_eval_image, coco, image_dir, ids[submitted], cfg,
+                    skeleton.n_keypoints))
+                submitted += 1
+
+        submit_more()
+        done = 0
+        while futures:
+            img_id, fimg, meta = futures.pop(0).result()
+            submit_more()
+            done += 1
+            if fimg is None:
+                # test-dev protocol: every image must produce a record
+                results.append({'image_id': img_id, 'category_id': 1,
+                                'keypoints': np.zeros(
+                                    skeleton.n_keypoints * 3).tolist(),
+                                'score': 0.01})
+            else:
+                batch_imgs.append(fimg)
+                batch_metas.append(meta)
+                batch_ids.append(img_id)
+                if len(batch_imgs) == batch_size:
+                    nxt = dispatch(batch_imgs, batch_metas, batch_ids)
+                    drain()          # host work overlaps the running infer
+                    pending = nxt
+                    batch_imgs, batch_metas, batch_ids = [], [], []
+            if progress and done % 100 == 0:
+                print(f'eval {done}/{len(ids)}')
+    if batch_imgs:
+        nxt = dispatch(batch_imgs, batch_metas, batch_ids)
+        drain()
+        pending = nxt
+    drain()
     return results
 
 

@@ -88,6 +88,37 @@ def test_dataset_pipeline_shapes(coco_dir):
     assert b['image'].dtype == np.float32
 
 
+def test_loader_worker_count_invariance(coco_dir):
+    """Batch contents/order must be IDENTICAL for 0 workers (thread) and N
+    worker processes: augmentation RNG derives from (seed, epoch, batch), not
+    from who produced it."""
+    from offsetguided_tpu.config.defaults import AugmentationConfig
+    from offsetguided_tpu.data import CocoKeypoints, batch_iterator
+    img_dir, ann_file = coco_dir
+    ds = CocoKeypoints(img_dir, ann_file, aug=AugmentationConfig(
+        square_length=64, max_translate=10), square_length=64, max_persons=8)
+    serial = list(batch_iterator(ds, batch_size=2, epochs=2, seed=3))
+    parallel = list(batch_iterator(ds, batch_size=2, epochs=2, seed=3,
+                                   num_workers=2))
+    assert len(serial) == len(parallel) == 4
+    for a, b in zip(serial, parallel):
+        np.testing.assert_array_equal(a['image'], b['image'])
+        np.testing.assert_array_equal(a['anns'], b['anns'])
+        np.testing.assert_array_equal(a['mask_miss'], b['mask_miss'])
+        assert a['epoch'] == b['epoch']
+
+
+def test_loader_worker_error_propagates(coco_dir):
+    """A failing worker must raise in the parent, not hang the iterator."""
+    import pytest
+    from offsetguided_tpu.data import CocoKeypoints, batch_iterator
+    img_dir, ann_file = coco_dir
+    ds = CocoKeypoints(img_dir, ann_file, square_length=64)
+    ds.image_dir = '/nonexistent-dir'      # force IOError inside workers
+    with pytest.raises(RuntimeError, match='data worker failed'):
+        list(batch_iterator(ds, batch_size=2, epochs=1, num_workers=2))
+
+
 def test_oracle_simulate_ap(coco_dir):
     """GT -> encoder -> decoder -> inverse -> OKS AP must be near-perfect."""
     from offsetguided_tpu.data import transforms as T
@@ -188,6 +219,7 @@ def test_train_tool_smoke(coco_dir, tmp_path):
         '--val-image-dir', img_dir, '--val-annotations', ann_file,
         '--square-length', '64', '--batch-size', '2', '--max-persons', '4',
         '--debug-tiny-model', '--max-steps', '3', '--epochs', '1',
+        '--loader-workers', '2',
         '--checkpoint-dir', str(tmp_path / 'ckpt'), '--print-freq', '1'])
     import os
     assert any('posenet' in f for f in os.listdir(tmp_path / 'ckpt'))

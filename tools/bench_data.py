@@ -25,6 +25,8 @@ def main():
     p.add_argument('--square-length', type=int, default=512)
     p.add_argument('--batch-size', type=int, default=16)
     p.add_argument('--n-batches', type=int, default=20)
+    p.add_argument('--num-workers', type=int, default=0,
+                   help='augmentation worker processes (0 = thread)')
     args = p.parse_args()
 
     from offsetguided_tpu.config import COCO_PERSON_SKELETON
@@ -54,7 +56,8 @@ def main():
     t_host = 0.0
     t0 = time.perf_counter()
     last = t0
-    for i, batch in enumerate(batch_iterator(ds, args.batch_size, epochs=None)):
+    for i, batch in enumerate(batch_iterator(ds, args.batch_size, epochs=None,
+                                             num_workers=args.num_workers)):
         t_host += time.perf_counter() - last
         targets, mask = encode(jnp.asarray(batch['anns']),
                                jnp.asarray(batch['mask_miss']))

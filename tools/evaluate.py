@@ -51,6 +51,8 @@ def cli(argv=None):
     p.add_argument('--scored-offset', action='store_true',
                    help='heatmap-weighted offset refinement before limb '
                         'collection (reference decoder/factory.py:70-72)')
+    p.add_argument('--io-workers', type=int, default=4,
+                   help='host IO/preprocess threads feeding the device loop')
     p.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
     p.add_argument('--all-images', action='store_true',
                    help='include images without annotations (test-dev)')
@@ -118,7 +120,8 @@ def main(argv=None):
                           max_stride=args.max_stride,
                           width_bucket=args.width_bucket,
                           flip_test=args.flip_test,
-                          batch_size=args.batch_size)
+                          batch_size=args.batch_size,
+                          io_workers=args.io_workers)
 
     coco = CocoJson(args.annotation_file)
     results = run_images(model, variables, pp, coco, args.image_dir, eval_cfg,

@@ -120,6 +120,10 @@ def cli(argv=None):
     g.add_argument('--num-processes', type=int, default=None)
     g.add_argument('--process-id', type=int, default=None)
     g.add_argument('--seed', type=int, default=0)
+    g.add_argument('--loader-workers', type=int, default=0,
+                   help='augmentation worker processes (0 = one background '
+                        'thread); reference DataLoader num_workers '
+                        '(data/factory.py:109-156)')
     g.add_argument('--debug-tiny-model', action='store_true',
                    help='swap in a narrow backbone (CI smoke tests)')
     g.add_argument('--max-steps', type=int, default=None,
@@ -320,7 +324,8 @@ def main(argv=None):
     with mesh:
         for batch in batch_iterator(dataset, args.batch_size,
                                     seed=args.seed,
-                                    epochs=args.epochs - start_epoch):
+                                    epochs=args.epochs - start_epoch,
+                                    num_workers=args.loader_workers):
             images, targets, mask = device_batch(batch)
             state, metrics = train_step(state, images, targets, mask)
             step += 1
