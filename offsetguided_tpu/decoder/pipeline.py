@@ -111,6 +111,28 @@ class PostProcessor:
         return _decode_impl(self, preds, flip_test)
 
     def _decode_body(self, preds, flip_test):
+        packed = self.decode_packed_limbs(preds, flip_test)
+        cfg = self.cfg
+        use_pallas = (cfg.pallas_grouping == 'on'
+                      or (cfg.pallas_grouping == 'auto'
+                          and jax.default_backend() == 'tpu'))
+        if use_pallas:
+            from ..ops.pallas.grouping_pallas import group_skeletons_pallas
+            poses, scores, counts = group_skeletons_pallas(
+                packed, tuple(zip(self._jf, self._jt)), cfg,
+                n_keypoints=self.skeleton.n_keypoints,
+                capacity=cfg.capacity)
+        else:
+            poses, scores, counts = grouping.group_skeletons(
+                packed, tuple(zip(self._jf, self._jt)), cfg,
+                n_keypoints=self.skeleton.n_keypoints,
+                capacity=cfg.capacity)
+        return poses, scores, counts
+
+    def decode_packed_limbs(self, preds, flip_test=False):
+        """preds -> (N, L, K, 13) packed candidate limbs (the grouping
+        input). Exposed so tests/tools can A/B alternative grouping
+        semantics on identical candidates."""
         maps = self.select_stage(preds)
         if flip_test:
             maps = self.flip_merge(maps)
@@ -169,19 +191,7 @@ class PostProcessor:
             if jomp is not None:
                 # refine with jitter offsets gathered at stride resolution
                 packed = self._apply_jitter_lowres(packed, jomp, limbs)
-
-        if use_pallas:
-            from ..ops.pallas.grouping_pallas import group_skeletons_pallas
-            poses, scores, counts = group_skeletons_pallas(
-                packed, tuple(zip(self._jf, self._jt)), cfg,
-                n_keypoints=self.skeleton.n_keypoints,
-                capacity=cfg.capacity)
-        else:
-            poses, scores, counts = grouping.group_skeletons(
-                packed, tuple(zip(self._jf, self._jt)), cfg,
-                n_keypoints=self.skeleton.n_keypoints,
-                capacity=cfg.capacity)
-        return poses, scores, counts
+        return packed
 
     def _apply_jitter_lowres(self, packed, jomp, limbs):
         """Add jitter offsets (input-res units) at low-res peak positions."""

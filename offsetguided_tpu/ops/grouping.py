@@ -44,6 +44,38 @@ def _dedup_end_keypoints(ind_t, score, valid):
     return valid & ~beaten
 
 
+def _merge_pass(subset, used):
+    """One merge iteration: rows sharing exactly two keypoint inds fold into
+    the first (lowest-index) matching target row; at most one mergee per
+    target per pass (chains settle on subsequent passes)."""
+    M = subset.shape[0]
+    inds = subset[:, :, COL_IND]
+    shared = ((inds[:, None, :] == inds[None, :, :])
+              & (inds[:, None, :] != -1.0)).sum(axis=-1)        # (M, M)
+    ar = jnp.arange(M)
+    upper = ar[:, None] < ar[None, :]
+    mergeable = (shared == 2) & upper & used[:, None] & used[None, :]
+    has_target = mergeable.any(axis=0)          # b has some a<b to merge into
+    a_sel = jnp.argmax(mergeable, axis=0)       # first matching target row
+    # a row that is itself being merged away cannot receive a merge
+    a_is_mergee = has_target[a_sel]
+    do_merge = has_target & ~a_is_mergee
+    # one mergee per target row per pass (extra pairs settle on later
+    # passes; keeps parity with the Pallas kernel formulation)
+    T = (ar[:, None] == a_sel[None, :]) & do_merge[None, :]   # (Ma, Mb)
+    first_b = jnp.argmax(T, axis=1)
+    hasb = T.any(axis=1)
+    consumed = (jnp.zeros((M,), jnp.int32)
+                .at[first_b].add(hasb.astype(jnp.int32)) > 0)
+    contrib = jnp.where(consumed[:, None, None], subset,
+                        -jnp.inf)                               # (M, J, 6)
+    tgt = jnp.where(consumed, a_sel, M)          # OOB -> dropped
+    subset = subset.at[tgt].max(contrib, mode='drop')
+    subset = jnp.where(consumed[:, None, None], -1.0, subset)
+    used = used & ~consumed
+    return subset, used
+
+
 def _group_single(packed, skeleton, cfg: DecoderConfig, n_keypoints: int,
                   capacity: int):
     """Group one image's (L, K, 13) candidate limbs. See pack_limbs for columns."""
@@ -108,30 +140,7 @@ def _group_single(packed, skeleton, cfg: DecoderConfig, n_keypoints: int,
                 jnp.where(have1[:, None], new_row, row))
 
         # --- merge skeleton pairs sharing exactly two keypoint inds ---------
-        inds = subset[:, :, COL_IND]
-        shared = ((inds[:, None, :] == inds[None, :, :])
-                  & (inds[:, None, :] != -1.0)).sum(axis=-1)        # (M, M)
-        ar = jnp.arange(M)
-        upper = ar[:, None] < ar[None, :]
-        mergeable = (shared == 2) & upper & used[:, None] & used[None, :]
-        has_target = mergeable.any(axis=0)          # b has some a<b to merge into
-        a_sel = jnp.argmax(mergeable, axis=0)       # first matching target row
-        # a row that is itself being merged away cannot receive a merge
-        a_is_mergee = has_target[a_sel]
-        do_merge = has_target & ~a_is_mergee
-        # one mergee per target row per iteration (extra pairs settle on later
-        # limb iterations; keeps parity with the Pallas kernel formulation)
-        T = (ar[:, None] == a_sel[None, :]) & do_merge[None, :]   # (Ma, Mb)
-        first_b = jnp.argmax(T, axis=1)
-        hasb = T.any(axis=1)
-        consumed = (jnp.zeros((M,), jnp.int32)
-                    .at[first_b].add(hasb.astype(jnp.int32)) > 0)
-        contrib = jnp.where(consumed[:, None, None], subset,
-                            -jnp.inf)                               # (M, J, 6)
-        tgt = jnp.where(consumed, a_sel, M)          # OOB -> dropped
-        subset = subset.at[tgt].max(contrib, mode='drop')
-        subset = jnp.where(consumed[:, None, None], -1.0, subset)
-        used = used & ~consumed
+        subset, used = _merge_pass(subset, used)
 
         # --- new skeletons from unmatched conns -----------------------------
         untouched = (mask_sum == 0).all(axis=0)
@@ -151,6 +160,11 @@ def _group_single(packed, skeleton, cfg: DecoderConfig, n_keypoints: int,
             subset = subset.at[slot, col, COL_S].set(sv, mode='drop')
             subset = subset.at[slot, col, COL_LSC].set(score, mode='drop')
         used = used.at[slot].set(True, mode='drop')
+
+    # settle merge chains the per-iteration one-mergee-per-target rule left
+    # unresolved at the final limb (see DecoderConfig.settle_passes)
+    for _ in range(cfg.settle_passes):
+        subset, used = _merge_pass(subset, used)
 
     return _delete_sort(subset, used, cfg, n_keypoints)
 

@@ -11,7 +11,12 @@ order-dependent:
    which after its sort-by-score ordering is the lowest-scoring candidate --
    an accident of implementation, decoder/group.py:124-135.)
 2. Skeleton merging resolves each mergee row to the first (lowest-index)
-   matching target row; chains settle over subsequent limb iterations.
+   matching target row; chains settle over subsequent limb iterations plus
+   `settle_passes` merge-only passes after the last limb. (The reference
+   merges all pairs at once from a pre-merge snapshot, which LOSES chained
+   mergees' keypoints, decoder/group.py:140-155; settling converges to the
+   lossless transitive closure instead. Divergence quantified in
+   tests/test_grouping_adversarial.py.)
 
 Everything else -- validity gating, one-use-per-end-keypoint dedup, the
 match/replace criteria, redundant-limb max-updates, merge-on-two-shared-joints,
@@ -46,9 +51,43 @@ def delete_reconns(conns: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return keep
 
 
+def _merge_pass_ref(subset: np.ndarray):
+    """One merge iteration, mirroring the device formulation EXACTLY
+    (ops/grouping.py::_merge_pass): each mergee row b targets only its FIRST
+    (lowest-index) matching row a; b is deferred to a later pass when that
+    target is itself a potential mergee, or when the target already received
+    a lower-indexed mergee this pass. Returns (subset, n_merged)."""
+    inds = subset[:, :, COL_IND].astype(np.int64)
+    n_rows = len(subset)
+    cnt = np.zeros((n_rows, n_rows), dtype=np.int64)
+    for a in range(n_rows):
+        for b in range(a + 1, n_rows):
+            cnt[a, b] = int(np.sum((inds[a] == inds[b]) & (inds[a] != -1)))
+    a_sel = {}
+    for b in range(n_rows):
+        for a in range(b):
+            if cnt[a, b] == 2:
+                a_sel[b] = a          # first matching target only
+                break
+    has_target = set(a_sel)
+    dead, receivers = [], set()
+    for b in sorted(a_sel):
+        a = a_sel[b]
+        if a in has_target:           # target is itself a (potential) mergee
+            continue
+        if a in receivers:            # one mergee per target per pass
+            continue
+        subset[a] = np.maximum(subset[a], subset[b])
+        receivers.add(a)
+        dead.append(b)
+    if dead:
+        subset = np.delete(subset, dead, axis=0)
+    return subset, len(dead)
+
+
 def group_skeletons_ref(limbs: np.ndarray, skeleton, *, person_thre=0.06,
                         sort_dim=2, dist_max=20.0, use_scale=True,
-                        n_keypoints=17, max_poses=64):
+                        n_keypoints=17, max_poses=64, settle_passes=2):
     """Group one image's candidate limbs (L, K, 13) into skeletons.
 
     Returns (poses (M, n_keypoints, 6), scores (M,)) sorted descending.
@@ -107,26 +146,7 @@ def group_skeletons_ref(limbs: np.ndarray, skeleton, *, person_thre=0.06,
 
         # merge pairs of skeletons that now share exactly two keypoint inds
         if len(subset) >= 2:
-            inds = subset[:, :, COL_IND].astype(np.int64)
-            n_rows = len(subset)
-            cnt = np.zeros((n_rows, n_rows), dtype=np.int64)
-            for a in range(n_rows):
-                for b in range(a + 1, n_rows):
-                    cnt[a, b] = int(np.sum((inds[a] == inds[b]) & (inds[a] != -1)))
-            dead = []
-            receivers = []
-            for b in range(n_rows):
-                for a in range(b):
-                    # one mergee per target row per limb iteration (extra
-                    # pairs settle on later iterations)
-                    if (cnt[a, b] == 2 and a not in dead and b not in dead
-                            and a not in receivers):
-                        subset[a] = np.maximum(subset[a], subset[b])
-                        dead.append(b)
-                        receivers.append(a)
-                        break
-            if dead:
-                subset = np.delete(subset, dead, axis=0)
+            subset, _ = _merge_pass_ref(subset)
 
         # conns touching no existing skeleton spawn new rows
         new_ks = [k for k in kept
@@ -140,6 +160,15 @@ def group_skeletons_ref(limbs: np.ndarray, skeleton, *, person_thre=0.06,
             row[0, jf, COL_LSC] = conns[k, 10]
             row[0, jt, COL_LSC] = conns[k, 10]
             subset = np.concatenate([subset, row], axis=0)
+
+    # settle merge chains left unresolved by the one-mergee-per-target rule
+    # at the final limb (matches DecoderConfig.settle_passes on device)
+    for _ in range(settle_passes):
+        if len(subset) < 2:
+            break
+        subset, n_merged = _merge_pass_ref(subset)
+        if not n_merged:
+            break
 
     return delete_sort_ref(subset, person_thre, sort_dim, max_poses)
 

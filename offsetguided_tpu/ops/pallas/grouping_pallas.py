@@ -258,39 +258,7 @@ def _limb_update_body(subset, used, conns, valid, jf, jt,
         subset = _blend_cols(subset, col, new6, have1)
 
     # --- merge pairs sharing exactly two keypoint inds ---------------------
-    J = subset.shape[1] // 6
-    inds = subset @ _sel_matrix(
-        subset.shape[1], tuple(6 * j + COL_IND for j in range(J)))  # (M, J)
-    # accumulate per joint: the rank-3 (BM, BM, J) broadcast form costs
-    # BM^2*J*4 bytes of VMEM (17 MB at BM=512), the J-unrolled form BM^2
-    shared = jnp.zeros((BM, BM), jnp.int32)
-    for j in range(J):
-        cj = _col_of(inds, j)                              # (BM,)
-        eqj = (cj[:, None] == cj[None, :]) & (cj[:, None] != -1.0)
-        shared = shared + eqj.astype(jnp.int32)
-    upper = arM[:, None] < arM[None, :]
-    mergeable = ((shared == 2) & upper
-                 & (used[:, None] > 0.5) & (used[None, :] > 0.5))
-    if n_img > 1:
-        mergeable = mergeable & ri_eq
-    ht_row = _sum_axis0(mergeable.astype(jnp.float32)) > 0     # (1, Mb)
-    FT = _first_true_rows(mergeable)                   # (Ma, Mb): first a per b
-    # has_target gathered at a_sel (= the FT row), via a masked axis-0 sum
-    tim = _sum_axis0(FT * _row_to_col(
-        ht_row.astype(jnp.float32))) > 0               # (1, Mb)
-    do_merge = ht_row & ~tim                           # (1, Mb) mergee rows
-    T = FT * do_merge.astype(jnp.float32)              # (Ma, Mb)
-    # one mergee per target row per iteration (extra pairs settle later)
-    hasb = (T.sum(axis=1) > 0).astype(jnp.float32)     # (Ma,)
-    T1 = _first_true_cols(T > 0)                       # (Ma, Mb) 0/1
-    consumed = _sum_axis0(T1)                          # (1, Mb) 0/1
-    contrib = T1 @ subset                              # (M, J*6)
-    merged = jnp.maximum(subset, contrib)
-    gm = hasb[:, None]
-    subset = merged * gm + subset * (1.0 - gm)
-    cm = _row_to_col(consumed)                         # (M, 1)
-    subset = subset * (1.0 - cm) + (-1.0) * cm
-    used = used * (1.0 - cm[:, 0])
+    subset, used = _merge_pass_2d(subset, used, n_img)
 
     # --- new skeletons from unmatched conns --------------------------------
     # cross-image m1/m2 entries are masked to 0, so an all-rows test is
@@ -313,6 +281,50 @@ def _limb_update_body(subset, used, conns, valid, jf, jt,
             13, (i0, i0 + 1, i0 + 2, 11 + i0 // 3, 10, 6 + i0 // 3))
         subset = _blend_cols(subset, col, new6, row_has)
     used = jnp.minimum(used + row_has, 1.0)
+    return subset, used
+
+
+def _merge_pass_2d(subset, used, n_img: int = 1):
+    """One merge iteration in flat-(M, J*6) dataflow (Mosaic-safe): rows
+    sharing exactly two keypoint inds fold into the first matching target;
+    one mergee per target per pass (chains settle on subsequent passes)."""
+    BM = subset.shape[0]
+    M = BM // n_img
+    arM = _iota(BM)
+    J = subset.shape[1] // 6
+    inds = subset @ _sel_matrix(
+        subset.shape[1], tuple(6 * j + COL_IND for j in range(J)))  # (M, J)
+    # accumulate per joint: the rank-3 (BM, BM, J) broadcast form costs
+    # BM^2*J*4 bytes of VMEM (17 MB at BM=512), the J-unrolled form BM^2
+    shared = jnp.zeros((BM, BM), jnp.int32)
+    for j in range(J):
+        cj = _col_of(inds, j)                              # (BM,)
+        eqj = (cj[:, None] == cj[None, :]) & (cj[:, None] != -1.0)
+        shared = shared + eqj.astype(jnp.int32)
+    upper = arM[:, None] < arM[None, :]
+    mergeable = ((shared == 2) & upper
+                 & (used[:, None] > 0.5) & (used[None, :] > 0.5))
+    if n_img > 1:
+        ri = arM // M
+        mergeable = mergeable & (ri[:, None] == ri[None, :])
+    ht_row = _sum_axis0(mergeable.astype(jnp.float32)) > 0     # (1, Mb)
+    FT = _first_true_rows(mergeable)                   # (Ma, Mb): first a per b
+    # has_target gathered at a_sel (= the FT row), via a masked axis-0 sum
+    tim = _sum_axis0(FT * _row_to_col(
+        ht_row.astype(jnp.float32))) > 0               # (1, Mb)
+    do_merge = ht_row & ~tim                           # (1, Mb) mergee rows
+    T = FT * do_merge.astype(jnp.float32)              # (Ma, Mb)
+    # one mergee per target row per pass (extra pairs settle later)
+    hasb = (T.sum(axis=1) > 0).astype(jnp.float32)     # (Ma,)
+    T1 = _first_true_cols(T > 0)                       # (Ma, Mb) 0/1
+    consumed = _sum_axis0(T1)                          # (1, Mb) 0/1
+    contrib = T1 @ subset                              # (M, J*6)
+    merged = jnp.maximum(subset, contrib)
+    gm = hasb[:, None]
+    subset = merged * gm + subset * (1.0 - gm)
+    cm = _row_to_col(consumed)                         # (M, 1)
+    subset = subset * (1.0 - cm) + (-1.0) * cm
+    used = used * (1.0 - cm[:, 0])
     return subset, used
 
 
@@ -422,6 +434,11 @@ def _group_core(load_conns, load_joints, L, cfg: DecoderConfig, J: int,
         return _limb_update(subset, used, conns, jf, jt, cfg)
 
     subset, used = jax.lax.fori_loop(0, L, limb_body, (subset, used))
+    # settle leftover merge chains (HIGHEST precision: index-carrying matmuls,
+    # see _limb_update)
+    with jax.default_matmul_precision('highest'):
+        for _ in range(cfg.settle_passes):
+            subset, used = _merge_pass_2d(subset, used)
     return _finalize(subset, used, cfg, J)
 
 
@@ -488,6 +505,9 @@ def group_skeletons_pallas(packed_limbs, skeleton, cfg: DecoderConfig,
     x = x.reshape(ngroups, G, L, K, C).transpose(0, 2, 1, 3, 4)
     x = x.reshape(ngroups, L, G * K, C)
 
+    S = cfg.settle_passes              # extra merge-only grid steps
+    LS = L + S
+
     def kernel(limbs_ref, jf_ref, jt_ref, poses_ref, counts_ref,
                subset_s, used_s):
         l = pl.program_id(1)
@@ -497,24 +517,38 @@ def group_skeletons_pallas(packed_limbs, skeleton, cfg: DecoderConfig,
             subset_s[...] = jnp.full((BM, J * 6), -1.0, jnp.float32)
             used_s[...] = jnp.zeros((BM, 1), jnp.float32)
 
-        conns = limbs_ref[0, 0].astype(jnp.float32)        # (G*K, C)
-        subset, used = _limb_update(subset_s[...], used_s[...][:, 0],
-                                    conns, jf_ref[l], jt_ref[l], cfg,
-                                    n_img=G)
-        subset_s[...] = subset
-        used_s[...] = used[:, None]
+        @pl.when(l < L)
+        def _limb():
+            conns = limbs_ref[0, 0].astype(jnp.float32)    # (G*K, C)
+            li = jnp.minimum(l, L - 1)
+            subset, used = _limb_update(subset_s[...], used_s[...][:, 0],
+                                        conns, jf_ref[li], jt_ref[li], cfg,
+                                        n_img=G)
+            subset_s[...] = subset
+            used_s[...] = used[:, None]
 
-        @pl.when(l == L - 1)
+        @pl.when(l >= L)
+        def _settle():
+            # settle leftover merge chains (index-carrying matmuls: HIGHEST)
+            with jax.default_matmul_precision('highest'):
+                subset, used = _merge_pass_2d(subset_s[...],
+                                              used_s[...][:, 0], n_img=G)
+            subset_s[...] = subset
+            used_s[...] = used[:, None]
+
+        @pl.when(l == LS - 1)
         def _flush():
-            poses, counts = _finalize_batched(subset, used, cfg, J, G, M)
+            poses, counts = _finalize_batched(subset_s[...],
+                                              used_s[...][:, 0], cfg, J, G, M)
             poses_ref[0] = poses                           # (MP*G, J*6)
             counts_ref[0] = counts                         # (G, 1)
 
     skel_arr = jnp.asarray(skeleton, dtype=jnp.int32)      # (L, 2)
     out = pl.pallas_call(
         kernel,
-        grid=(ngroups, L),
-        in_specs=[pl.BlockSpec((1, 1, G * K, C), lambda g, l: (g, l, 0, 0),
+        grid=(ngroups, LS),
+        in_specs=[pl.BlockSpec((1, 1, G * K, C),
+                               lambda g, l: (g, jnp.minimum(l, L - 1), 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((L,), lambda g, l: (0,),
                                memory_space=pltpu.SMEM),

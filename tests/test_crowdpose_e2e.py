@@ -190,3 +190,44 @@ def test_crowdpose_flip_merge_roundtrip():
     # reserve limbs keep the original prediction, everything else averages
     # two identical copies -> positions must agree to float tolerance
     np.testing.assert_allclose(b[..., :2], a[..., :2], atol=1e-3)
+
+
+def test_crowdpose_evaluate_tool_from_disk(crowdpose_json, tmp_path, capsys,
+                                           monkeypatch):
+    """tools/evaluate.py --dataset crowdpose end-to-end over an ON-DISK
+    synthetic CrowdPose set (images + per-image crowdIndex): the tool must
+    run the full from-disk harness and report the crowd-band protocol
+    (AP / AP_easy / AP_medium / AP_hard, reference README.md:133-150)."""
+    import os
+    import sys
+    import cv2
+    import importlib
+    from offsetguided_tpu.data.coco import CocoJson
+
+    ann_file, gt_kps = crowdpose_json
+    # paint the annotated scenes to JPEGs next to the annotation file
+    img_dir = os.path.join(os.path.dirname(ann_file), 'images')
+    os.makedirs(img_dir, exist_ok=True)
+    coco = CocoJson(ann_file)
+    for img_id in coco.image_ids():
+        info = coco.image_info(img_id)
+        img = np.full((info['height'], info['width'], 3), 90, np.uint8)
+        for k in gt_kps[img_id]:
+            for x, y, v in k:
+                if v > 0:
+                    cv2.circle(img, (int(x), int(y)), 3, (60, 200, 60), -1)
+        cv2.imwrite(os.path.join(img_dir, info['file_name']), img)
+
+    sys.path.insert(0, 'tools')
+    ev = importlib.import_module('evaluate')
+    out = tmp_path / 'cp_res.json'
+    ev.main(['--image-dir', img_dir, '--annotation-file', ann_file,
+             '--dataset', 'crowdpose', '--long-edge', '128',
+             '--batch-size', '2', '--debug-tiny-model',
+             '--results-json', str(out)])
+    printed = capsys.readouterr().out
+    for key in ('AP:', 'AP_easy:', 'AP_medium:', 'AP_hard:'):
+        assert key in printed, f'missing {key} in tool output:\n{printed}'
+    res = json.loads(out.read_text())
+    assert len(res) >= len(coco.image_ids(with_persons=True))
+    assert all(len(r['keypoints']) == J * 3 for r in res)
