@@ -25,7 +25,8 @@ enable_persistent_cache('/tmp/jax_bench_cache')
 BASELINE_FPS = 30.0  # reference 2080 Ti end-to-end FPS
 
 
-def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16'):
+def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16',
+          flip_test=False):
     from offsetguided_tpu.config.defaults import DecoderConfig, ModelConfig
     from offsetguided_tpu.decoder import PostProcessor
     from offsetguided_tpu.models import PoseNet
@@ -43,8 +44,12 @@ def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16'):
 
     @jax.jit
     def infer(vars_, img):
+        if flip_test:
+            # headline eval config (reference README.md:69-87): forward the
+            # mirrored batch too, flip-merge maps, decode once
+            img = jnp.concatenate([img, jnp.flip(img, axis=2)], axis=0)
         preds = model.apply(vars_, img, train=False)
-        return pp._decode_body(preds, flip_test=False)
+        return pp._decode_body(preds, flip_test=flip_test)
 
     return infer, variables, image
 
@@ -72,22 +77,24 @@ def timed_fps(infer, variables, image, n1=4, n2=12):
 
 
 def main():
-    size = 640
+    flip = '--flip-test' in sys.argv     # extra mode for BENCHMARKS.md runs;
+    size = 640                           # the driver invokes with no args
     fps = None
     for batch in (8, 4, 2, 1):
         try:
-            infer, variables, image = build(batch, size)
+            infer, variables, image = build(batch, size, flip_test=flip)
             fps = timed_fps(infer, variables, image)
             break
         except Exception as e:  # OOM fallback to smaller batch
             sys.stderr.write(f'batch {batch} failed: {type(e).__name__}: {e}\n')
             continue
+    metric = 'e2e_fps_640_1chip' + ('_flip' if flip else '')
     if fps is None:
-        print(json.dumps({"metric": "e2e_fps_640_1chip", "value": 0.0,
+        print(json.dumps({"metric": metric, "value": 0.0,
                           "unit": "img/s", "vs_baseline": 0.0}))
         return
     print(json.dumps({
-        "metric": "e2e_fps_640_1chip",
+        "metric": metric,
         "value": round(fps, 2),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -31,8 +31,12 @@ from ..decoder import PostProcessor
 
 
 def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
-                    n_keypoints: int = 17):
-    """Rescale+pad for evaluation; returns (float_image, anns, meta)."""
+                    n_keypoints: int = 17, normalize: bool = True):
+    """Rescale+pad for evaluation; returns (image, anns, meta).
+
+    normalize=True returns the float32 ImageNet-normalized image;
+    normalize=False keeps uint8 (the harness transfers uint8 and normalizes
+    ON DEVICE -- 4x less host->device bandwidth, same math)."""
     h, w = image.shape[:2]
     meta = T.make_meta(w, h, n_keypoints)
     if cfg.fixed_height:
@@ -54,7 +58,15 @@ def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
         image, anns, meta = T.rescale_long_absolute(image, anns, meta,
                                                     cfg.long_edge)
         image, anns, meta = T.center_pad(image, anns, meta, cfg.long_edge)
-    return T.normalize_image(image), anns, meta
+    return (T.normalize_image(image) if normalize else image), anns, meta
+
+
+def normalize_on_device(images_u8: jax.Array) -> jax.Array:
+    """uint8 RGB (N, H, W, 3) -> ImageNet-normalized float32, inside jit
+    (same math as data/transforms.py::normalize_image)."""
+    mean = jnp.asarray(T.DATA_MEAN, jnp.float32)
+    std = jnp.asarray(T.DATA_STD, jnp.float32)
+    return (images_u8.astype(jnp.float32) / 255.0 - mean) / std
 
 
 def make_infer_fn(model, variables, pp: PostProcessor, flip_test: bool,
@@ -66,21 +78,29 @@ def make_infer_fn(model, variables, pp: PostProcessor, flip_test: bool,
     uses running stats, and the Pallas grouping kernel -- a custom call XLA
     cannot auto-partition -- executes per shard)."""
 
-    def body(images):
+    def body(vars_, images):
+        # variables enter as an ARGUMENT: closing over them would bake 187M
+        # parameters into the program as constants, exploding compile time
+        # (observed: >30 min remote compiles that the tunnel kills)
+        if images.dtype == jnp.uint8:
+            # uint8 arrives over the wire; normalization runs on device
+            images = normalize_on_device(images)
         if flip_test:
             images = jnp.concatenate([images, jnp.flip(images, axis=2)],
                                      axis=0)
-        preds = model.apply(variables, images, train=False)
+        preds = model.apply(vars_, images, train=False)
         return pp._decode_body(preds, flip_test=flip_test)
 
     if mesh is None:
-        return jax.jit(body)
+        jitted = jax.jit(body)
+        return lambda images: jitted(variables, images)
 
     from jax.sharding import PartitionSpec as P
-    sharded = jax.shard_map(body, mesh=mesh, in_specs=P('data'),
+    sharded = jax.shard_map(body, mesh=mesh, in_specs=(P(), P('data')),
                             out_specs=(P('data'), P('data'), P('data')),
                             check_vma=False)
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+    return lambda images: jitted(variables, images)
 
 
 def poses_to_coco_results(poses: np.ndarray, image_id: int) -> List[Dict]:
@@ -122,8 +142,10 @@ def _load_eval_image(coco: CocoJson, image_dir: str, img_id: int,
             path, img_id)
         return img_id, None, None
     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    # keep uint8: the device normalizes (4x less host->device transfer)
     fimg, _, meta = preprocess_eval(
-        img, np.zeros((0, n_keypoints, 4), np.float32), cfg, n_keypoints)
+        img, np.zeros((0, n_keypoints, 4), np.float32), cfg, n_keypoints,
+        normalize=False)
     return img_id, fimg, meta
 
 
