@@ -35,6 +35,12 @@ from flax import linen as nn
 # (models/networks.py:147-173)
 conv_init = nn.initializers.normal(stddev=0.001)
 
+# s2d stem formulation: 'full' = 2x2 space-to-depth (H-parity interleave
+# copy + stride-1 conv), 'wfold' = fold only W pairs (free reshape) and keep
+# the H stride in the conv. Both are bit-equivalent to the strided conv;
+# 'wfold' avoids materializing any transpose of the full-res image.
+_S2D_MODE = 'wfold'
+
 
 class Conv(nn.Module):
     """2-D convolution, parameter-compatible with flax nn.Conv
@@ -91,7 +97,8 @@ class Conv(nn.Module):
                 and self.kernel_dilation == (1, 1)
                 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
                 and kh == kw and kh % 2 == 1 and self.padding == 'TORCH'):
-            y = self._s2d_conv(x, kernel)
+            y = (self._s2d_conv_wfold(x, kernel) if _S2D_MODE == 'wfold'
+                 else self._s2d_conv(x, kernel))
         else:
             y = jax.lax.conv_general_dilated(
                 x, kernel.astype(self.dtype),
@@ -136,6 +143,33 @@ class Conv(nn.Module):
         return jax.lax.conv_general_dilated(
             xs, kk.astype(self.dtype), (1, 1),
             padding=((lo, hi), (lo, hi)),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    def _s2d_conv_wfold(self, x, kernel):
+        """Same conv, but only the W-parity pairs fold into channels (a FREE
+        reshape on contiguous NHWC data); H keeps its stride-2 inside the
+        conv with the kernel's H taps zero-padded to even length. No
+        transpose of the full-resolution image is materialized at all."""
+        n, h, w, c = x.shape
+        kh, kw = self.kernel_size
+        P = (kh - 1) // 2
+        front = P % 2
+        k2 = (kh + front + 1) // 2                   # W-folded tap count
+        lo = (P + 1) // 2
+        hi = k2 - 1 - lo
+        pad = jnp.pad(kernel, ((front, 2 * k2 - kh - front),
+                               (front, 2 * k2 - kw - front),
+                               (0, 0), (0, 0)))
+        # (ah, jw, dw, c, f): H taps raw (2*k2 of them), W folded by parity
+        kk = pad.reshape(2 * k2, k2, 2 * c, self.features)
+        xs = x.reshape(n, h, w // 2, 2 * c)          # contiguous: free
+        # output row p reads padded-tap ah at u = 2p + ah - (P + front); the
+        # high pad must also satisfy the window-count formula with the
+        # zero-padded kernel length 2*k2 (extra rows meet only zero taps)
+        pad_hi = max(2 * k2 - 2 - P - front, 0)
+        return jax.lax.conv_general_dilated(
+            xs, kk.astype(self.dtype), (2, 1),
+            padding=((P + front, pad_hi), (lo, hi)),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
