@@ -111,6 +111,21 @@ class DecoderConfig:
     scored_offset: bool = False
     # 'auto': single fused Pallas grouping kernel on TPU, XLA elsewhere
     pallas_grouping: str = 'auto'     # 'auto' | 'on' | 'off'
+    # flip-test offset merge in 4-D vector space: instead of averaging the
+    # original and mirrored guiding offsets, keep BOTH and pair keypoints by
+    # the 4-D distance |[g1;g2] - [t;t]| (reference --cat-flip-offset,
+    # decoder/factory.py:115-127 + collect.py:143-175 vector_nd=4). The
+    # reference documents this variant as costing 0.5 AP and defaults it
+    # off; implemented for full CLI parity.
+    cat_flip_offs: bool = False
+    # refine the regressed guiding endpoints with the jitter offset sampled
+    # at the (integer) endpoint position BEFORE the pairing distance-min
+    # (reference collect.py:158-165, on by default there when the jomp head
+    # exists). Off by default here: the reference's own comment says the
+    # trick "does not help at all", and its implementation indexes the
+    # jitter map with transposed coordinates (jomps[i, :, x, y]); this
+    # implementation uses the intended [y, x] indexing.
+    guid_jitter_refine: bool = False
     # extra merge-only passes AFTER the last limb iteration. Our grouping
     # merges at most one mergee per target row per iteration (remaining
     # pairs settle on later iterations); without settling, pairs still

@@ -89,11 +89,22 @@ class PostProcessor:
         flip = jnp.flip(off5[n:], axis=2)
         flip = flip.at[..., 0].multiply(-1.0)
         flip = flip[..., list(self._limb_flip), :]
-        merged = (orig + flip) / 2
-        if len(self._reserve):
-            merged = merged.at[..., list(self._reserve), :].set(
-                orig[..., list(self._reserve), :])
-        out['omp'] = merged.reshape(n, h, w, 2 * L)
+        if self.cfg.cat_flip_offs:
+            # 4-D flip merge: keep both offset vectors instead of averaging;
+            # direction-reversed limbs duplicate the original vector
+            # (reference decoder/factory.py:115-127). Downstream pairing
+            # then uses the 4-D distance (collect.py vector_nd=4).
+            cat = jnp.concatenate([orig, flip], axis=-1)   # (N, h, w, L, 4)
+            if len(self._reserve):
+                r = list(self._reserve)
+                cat = cat.at[..., r, 2:4].set(orig[..., r, :])
+            out['omp'] = cat.reshape(n, h, w, 4 * L)
+        else:
+            merged = (orig + flip) / 2
+            if len(self._reserve):
+                merged = merged.at[..., list(self._reserve), :].set(
+                    orig[..., list(self._reserve), :])
+            out['omp'] = merged.reshape(n, h, w, 2 * L)
 
         if maps['scmp'] is not None:
             fs = unflip(maps['scmp'])[..., kp_flip]

@@ -283,13 +283,14 @@ def scored_offset(hmp: jax.Array, off: jax.Array, jtypes_f: np.ndarray,
 
     Args:
         hmp: (N, H, W, C) heatmaps.
-        off: (N, H, W, 2L) guiding offsets.
+        off: (N, H, W, V*L) guiding offsets (V=2, or 4 after a
+            `cat_flip_offs` flip merge -- each component weighted alike).
         jtypes_f: (L,) start-joint channel per limb.
     """
     n, h, w, c2 = off.shape
-    L = c2 // 2
+    L = len(jtypes_f)
     score = jnp.take(hmp, jnp.asarray(jtypes_f), axis=-1)         # (N, H, W, L)
-    somap = off.reshape(n, h, w, L, 2) * score[..., None]          # (N,H,W,L,2)
+    somap = off.reshape(n, h, w, L, c2 // L) * score[..., None]    # (N,H,W,L,V)
 
     def box_sum(x):
         pad = (kernel_size - 1) // 2
@@ -380,19 +381,26 @@ def collect_limbs(
     # gather guiding-offset vectors at start-keypoint positions. Flattened
     # single gather: the former (N, H*W, L, 2) -> (N, L, H*W, 2) transpose
     # materialized a 15.6MB strided copy per map only to read L*K vectors
-    # from it.
-    off_flat = offs.reshape(n, h * w * L * 2)
-    base = inds_f * jnp.int32(L * 2) \
-        + (jnp.arange(L, dtype=jnp.int32) * 2)[None, :, None]   # (N, L, K)
-    idx2 = jnp.stack([base, base + 1], axis=-1).reshape(n, L * k * 2)
-    off_f = jnp.take_along_axis(off_flat, idx2, axis=1).reshape(n, L, k, 2)
+    # from it. V=2 normally; V=4 after a `cat_flip_offs` flip merge
+    # (reference collect.py:143-152 vector_nd).
+    V = offs.shape[-1] // L
+    off_flat = offs.reshape(n, h * w * L * V)
+    base = inds_f * jnp.int32(L * V) \
+        + (jnp.arange(L, dtype=jnp.int32) * V)[None, :, None]   # (N, L, K)
+    idx2 = jnp.stack([base + j for j in range(V)],
+                     axis=-1).reshape(n, L * k * V)
+    off_f = jnp.take_along_axis(off_flat, idx2, axis=1).reshape(n, L, k, V)
 
-    # regressed end-joint positions (decoder/collect.py:152)
-    guid_t = xys_f + off_f * resize_factor
+    # regressed end-joint positions (decoder/collect.py:152); with V=4 the
+    # start point repeats across both vector halves (kps_xys_f.repeat)
+    guid_t = jnp.tile(xys_f, (1, 1, 1, V // 2)) + off_f * resize_factor
 
-    # dense pairing: (N, L, K, M) distance, min over end candidates M
-    dist = jnp.linalg.norm(guid_t[:, :, :, None, :] - xys_t[:, :, None, :, :],
-                           axis=-1)
+    # dense pairing: (N, L, K, M) distance, min over end candidates M; for
+    # V=4 the target also repeats, so the metric is |[g1;g2] - [t;t]|
+    # (reference collect.py:171-177)
+    dist = jnp.linalg.norm(
+        guid_t[:, :, :, None, :]
+        - jnp.tile(xys_t, (1, 1, 1, V // 2))[:, :, None, :, :], axis=-1)
     min_dist = jnp.min(dist, axis=-1)
     min_ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
 
@@ -518,11 +526,14 @@ def _collect_from_peaks(scores, inds, ys, xs, h, w, offs4, jtypes_f,
     inds_f, scores_f, xs_f, ys_f, xys_f = channel_dets(jf)
     inds_t, scores_t, xs_t, ys_t, xys_t = channel_dets(jt)
 
-    # guiding offsets at from-peaks: per-limb channel pair of offs4
-    ch_x = 2 * np.arange(L, dtype=np.int32)
-    off_fx = sample_limb_maps(offs4, ch_x, xs_f, ys_f, stride, 'bilinear')
-    off_fy = sample_limb_maps(offs4, ch_x + 1, xs_f, ys_f, stride, 'bilinear')
-    off_f = jnp.concatenate([off_fx, off_fy], axis=-1)        # (N, L, K, 2)
+    # guiding offsets at from-peaks: per-limb channel group of offs4.
+    # V=2 normally; V=4 after a `cat_flip_offs` flip merge (reference
+    # collect.py:143-152 vector_nd).
+    V = offs4.shape[-1] // L
+    ch0 = V * np.arange(L, dtype=np.int32)
+    off_f = jnp.concatenate(
+        [sample_limb_maps(offs4, ch0 + j, xs_f, ys_f, stride, 'bilinear')
+         for j in range(V)], axis=-1)                         # (N, L, K, V)
 
     if scmps4 is not None:
         scales_f = sample_limb_maps(scmps4, jtypes_f, xs_f, ys_f, stride,
@@ -542,9 +553,32 @@ def _collect_from_peaks(scores, inds, ys, xs, h, w, offs4, jtypes_f,
         jitter_f = jnp.zeros((n, L, k, 2), dtype=xys_f.dtype)
         jitter_t = jnp.zeros((n, L, k, 2), dtype=xys_t.dtype)
 
-    guid_t = xys_f + off_f
-    dist = jnp.linalg.norm(guid_t[:, :, :, None, :] - xys_t[:, :, None, :, :],
-                           axis=-1)
+    guid_t = jnp.tile(xys_f, (1, 1, 1, V // 2)) + off_f       # (N, L, K, V)
+
+    if cfg.guid_jitter_refine and jomps4 is not None:
+        # refine each regressed endpoint with the jitter offset sampled at
+        # its truncated-integer position, skipped when off-image (reference
+        # collect.py:158-165; that loop indexes jomps with transposed
+        # coordinates -- intended [y, x] indexing is used here, see
+        # DecoderConfig.guid_jitter_refine).
+        pairs = []
+        for j in range(V // 2):
+            g = guid_t[..., 2 * j:2 * j + 2]
+            gx = g[..., 0].astype(jnp.int32)      # trunc toward 0 == .int()
+            gy = g[..., 1].astype(jnp.int32)
+            ok = (gx >= 0) & (gx < w) & (gy >= 0) & (gy < h) \
+                & jnp.isfinite(g).all(axis=-1)
+            jit = sample_limb_maps(jomps4, None,
+                                   jnp.clip(gx, 0, w - 1),
+                                   jnp.clip(gy, 0, h - 1),
+                                   stride, 'bilinear')        # (N, L, K, 2)
+            pairs.append(jnp.where(ok[..., None], g + jit, g))
+        guid_t = jnp.concatenate(pairs, axis=-1)
+
+    # V=4: the pairing metric is |[g1;g2] - [t;t]| (collect.py:171-177)
+    dist = jnp.linalg.norm(
+        guid_t[:, :, :, None, :]
+        - jnp.tile(xys_t, (1, 1, 1, V // 2))[:, :, None, :, :], axis=-1)
     min_dist = jnp.min(dist, axis=-1)
     min_ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
 

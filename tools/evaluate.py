@@ -51,6 +51,13 @@ def cli(argv=None):
     p.add_argument('--scored-offset', action='store_true',
                    help='heatmap-weighted offset refinement before limb '
                         'collection (reference decoder/factory.py:70-72)')
+    p.add_argument('--cat-flip-offset', action='store_true',
+                   help='flip-test: keep both offset vectors and pair by '
+                        '4-D distance instead of averaging (reference '
+                        '--cat-flip-offset, costs ~0.5 AP there)')
+    p.add_argument('--guid-jitter-refine', action='store_true',
+                   help='refine regressed guiding endpoints with the jitter '
+                        'offset before pairing (reference collect.py:158-165)')
     p.add_argument('--io-workers', type=int, default=4,
                    help='host IO/preprocess threads feeding the device loop')
     p.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
@@ -114,7 +121,9 @@ def main(argv=None):
         use_jitter_offset=not args.no_jitter_refine,
         use_scale=not args.no_scale,
         upsampled_decode=not args.lowres_decode,
-        scored_offset=args.scored_offset))
+        scored_offset=args.scored_offset,
+        cat_flip_offs=args.cat_flip_offset,
+        guid_jitter_refine=args.guid_jitter_refine))
     eval_cfg = EvalConfig(long_edge=args.long_edge,
                           fixed_height=args.fixed_height,
                           max_stride=args.max_stride,
