@@ -168,7 +168,8 @@ def _topk_segmented(vals: jax.Array, k: int, target_segment: int = 2048):
 
 
 def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
-                     stride: int, method: str = 'bilinear') -> jax.Array:
+                     stride: int, method: str = 'bilinear',
+                     impl: str = 'dense') -> jax.Array:
     """Sample per-limb channel pairs/singles of a stride-`stride` map at
     full-resolution integer pixel positions, reproducing
     `upsample2d(maps, stride, method)` gathered at those pixels -- without
@@ -181,6 +182,19 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
         xs, ys: (N, L, K) int32 full-resolution pixel coordinates (may be
             out of range; clamped like the torch resize border handling).
         method: 'bilinear' (2 taps/axis) or 'bicubic' (4 taps, A=-0.75).
+        impl: 'dense' (default) -- per-axis interpolation-weight matrices
+            contracted on the MXU; 'gather' -- ALL tap reads fused into one
+            take_along_axis with precomputed flat (y, x, channel) indices.
+            Identical results (both poison a sample with +inf whenever any
+            tap cell in the interpolation footprint is non-finite, even at
+            zero weight: the reference upsample would have spread the
+            sentinel). Measured e2e at the benchmark config on v5e:
+            dense ~197 img/s vs gather ~183 -- TPU gathers serialize while
+            the dense contraction rides the MXU, so the L*K*T^2-element
+            gather LOSES to the dense form despite its (N, L, h, w)
+            broadcast traffic. 'gather' is kept as the semantic
+            cross-check (tests/test_decoder_sampled.py) and for
+            gather-friendly backends.
     Returns:
         (N, L, K, C_sel) sampled values, C_sel = C if channels is None else
         the per-limb selected channel (C_sel=1) -- for vector maps pass a
@@ -219,6 +233,39 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
 
     wx = weights(fx)                                       # (N, L, K, T)
     wy = weights(fy)
+
+    if impl == 'gather':
+        T = len(rel)
+        C = maps.shape[-1]
+        # clipped tap coordinates (border clamp, duplicate taps accumulate)
+        xi = jnp.clip(x0.astype(jnp.int32)[..., None] + np.asarray(rel),
+                      0, w - 1)                            # (N, L, K, T)
+        yi = jnp.clip(y0.astype(jnp.int32)[..., None] + np.asarray(rel),
+                      0, h - 1)
+        # flat (y, x) index per tap pair, then channel page
+        pix = (yi[..., :, None] * w + xi[..., None, :])    # (N, L, K, T, T)
+        if channels is not None:
+            ch = jnp.asarray(channels, dtype=jnp.int32)    # (L,)
+            idx = pix * C + ch[None, :, None, None, None]
+            idx = idx.reshape(n, L * k * T * T)
+            taps = jnp.take_along_axis(maps.reshape(n, h * w * C),
+                                       idx, axis=1)
+            taps = taps.reshape(n, L, k, T, T)
+            wgt = wy[..., :, None] * wx[..., None, :]      # (N, L, K, T, T)
+            val = jnp.sum(wgt * jnp.where(jnp.isfinite(taps), taps, 0.0),
+                          axis=(-2, -1))[..., None]
+            touched = jnp.any(~jnp.isfinite(taps), axis=(-2, -1))[..., None]
+            return jnp.where(touched, jnp.inf, val)
+        idx = (pix[..., None] * C
+               + jnp.arange(C, dtype=jnp.int32))           # (N,L,K,T,T,C)
+        taps = jnp.take_along_axis(maps.reshape(n, h * w * C),
+                                   idx.reshape(n, L * k * T * T * C), axis=1)
+        taps = taps.reshape(n, L, k, T, T, C)
+        wgt = (wy[..., :, None] * wx[..., None, :])[..., None]
+        val = jnp.sum(wgt * jnp.where(jnp.isfinite(taps), taps, 0.0),
+                      axis=(-3, -2))
+        touched = jnp.any(~jnp.isfinite(taps), axis=(-3, -2))
+        return jnp.where(touched, jnp.inf, val)
 
     # Dense per-axis interpolation-weight matrices: one elementwise compare
     # per tap (duplicate clipped border taps accumulate, exactly like the

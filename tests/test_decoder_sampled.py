@@ -155,3 +155,31 @@ def test_collect_fused_matches_sampled(rng):
     a = np.asarray(dec.pack_limbs(ref))
     g = np.asarray(dec.pack_limbs(got))
     np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
+
+
+def test_sample_impls_agree_including_sentinels(rng):
+    """'gather' (one fused take_along_axis) and 'dense' (MXU contraction)
+    sampling must agree bit-for-bit-ish on finite values AND poison the same
+    samples when +-inf/NaN sentinels sit anywhere in the tap footprint."""
+    n, h, w, L, K = 2, 8, 9, 5, 7
+    stride = 4
+    maps = rng.randn(n, h, w, 2 * L).astype(np.float32)
+    # scatter sentinels: some at clipped borders, some interior
+    maps[0, 0, 0, 0] = np.inf
+    maps[0, 3, 4, 2] = -np.inf
+    maps[1, 7, 8, 1] = np.nan
+    xs = rng.randint(-3, w * stride + 3, (n, L, K)).astype(np.int32)
+    ys = rng.randint(-3, h * stride + 3, (n, L, K)).astype(np.int32)
+    ch = rng.randint(0, 2 * L, (L,)).astype(np.int32)
+    for method in ('bilinear', 'bicubic'):
+        for channels in (ch, None):
+            a = np.asarray(dec.sample_limb_maps(
+                jnp.asarray(maps), channels, jnp.asarray(xs),
+                jnp.asarray(ys), stride, method, impl='gather'))
+            b = np.asarray(dec.sample_limb_maps(
+                jnp.asarray(maps), channels, jnp.asarray(xs),
+                jnp.asarray(ys), stride, method, impl='dense'))
+            assert a.shape == b.shape
+            pa, pb = np.isposinf(a), np.isposinf(b)
+            np.testing.assert_array_equal(pa, pb)
+            np.testing.assert_allclose(a[~pa], b[~pb], rtol=2e-4, atol=2e-4)
