@@ -97,17 +97,25 @@ def _row_to_col(v):
     return (eye * v).sum(axis=1, keepdims=True)
 
 
-def _sum_axis0(x):
+def _sum_axis0(x, exact_values: bool = False):
     """Axis-0 (sublane) sum -> (1, C) via an 8-row MXU contraction.
 
     Mosaic rejects sublane `multi_reduction`s here ("unsupported output
     implicit dimension", keepdims or not); an iota-derived 8-row ones matrix
     (constants fold to literal operands, also rejected) contracting x is
-    equivalent and MXU-native."""
+    equivalent and MXU-native.
+
+    Most call sites contract 0/1 masks, which are exact in bf16, so the
+    contraction runs at DEFAULT precision (one MXU pass) even inside the
+    kernel's 'highest' (six-pass) context; pass exact_values=True when x
+    carries raw keypoint indices/values that exceed bf16x3's 16 mantissa
+    bits (see _limb_update)."""
     r = x.shape[0]
     ones8 = (jax.lax.broadcasted_iota(jnp.int32, (8, r), 0) >= 0).astype(
         x.dtype)
-    return (ones8 @ x)[0:1]
+    prec = (jax.lax.Precision.HIGHEST if exact_values
+            else jax.lax.Precision.DEFAULT)
+    return jnp.matmul(ones8, x, precision=prec)[0:1]
 
 
 def _col_of(subset, c):
@@ -359,7 +367,7 @@ def _finalize_body(subset, used, cfg: DecoderConfig, J: int):
         eq = remaining == val
         csum = _cumsum_incl(eq.astype(jnp.float32))
         ohm = (eq & (csum == 1.0)).astype(jnp.float32)     # (M,) first max
-        row = _sum_axis0(ohm[:, None] * subset_clean)
+        row = _sum_axis0(ohm[:, None] * subset_clean, exact_values=True)
         rows.append(row * ok)                              # (1, J*6)
         out_scores.append(val * ok)
         remaining = jnp.where(ohm > 0, -2.0, remaining)
@@ -399,7 +407,8 @@ def _finalize_batched(subset, used, cfg: DecoderConfig, J: int, n_img: int,
         bb = jax.lax.broadcasted_iota(jnp.int32, (BM, n_img), 1)
         maskT = (rb // M == bb).astype(jnp.float32)         # (BM, n_img)
 
-        counts = imgmask @ keep_rows.astype(jnp.float32)[:, None]  # (n_img,1)
+        counts = jnp.matmul(imgmask, keep_rows.astype(jnp.float32)[:, None],
+                            precision=jax.lax.Precision.DEFAULT)   # (n_img,1)
 
         MP = cfg.max_poses
         remaining = sel_score                                # (BM,)

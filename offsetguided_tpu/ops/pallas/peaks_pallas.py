@@ -129,21 +129,30 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
         best, code = _peaks_core(x_ref[0], ue_ref[...], uo_ref[...])
         tile_s[...] = best
         code_s[...] = code
-        rows_col = jax.lax.broadcasted_iota(jnp.int32, (hb, 1), 0)  # (hb, 1)
         cols_row = jax.lax.broadcasted_iota(jnp.int32, (1, hb), 1)  # (1, hb)
         ar_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0)[:, 0]
-        rm0 = jnp.max(best, axis=1, keepdims=True)                  # (hb, 1)
 
-        # Iterative extraction with per-row maximum maintenance: the old body
-        # re-scanned the whole (hb, hb) tile ~7 times per iteration; this one
-        # touches only the per-row max column plus ONE dynamically-indexed
-        # row of the scratch tile (exact values, no matmul-gather rounding).
+        # Per-row maxima kept in LANE-major (1, hb) layout: every (hb, 1)
+        # sublane-major vector op costs ~hb/8 mostly-empty vregs, and the
+        # extraction loop below runs k iterations of ~8 such ops -- measured
+        # 88% of the kernel. One eye-masked transpose (elementwise + sublane
+        # reduction, once per map) moves the maxima into lanes; the loop then
+        # touches only (1, hb) vectors plus ONE dynamically-indexed row of
+        # the NATURAL-orientation tile (sublane slices are cheap; the earlier
+        # attempt that transposed the whole tile instead lost 4 img/s e2e to
+        # the two full-tile transposes).
+        rm0 = jnp.max(best, axis=1, keepdims=True)                  # (hb, 1)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1))
+        rmT0 = jnp.max(jnp.where(eye, rm0, jnp.float32(-jnp.inf)),
+                       axis=0, keepdims=True)                       # (1, hb)
+
         # Order parity with the full-tile version: global max, ties broken by
         # lowest flat index (first tied row, then first tied column).
         def body(i, carry):
-            rm, vals, ys, xs = carry
-            mval = jnp.max(rm)
-            r = jnp.min(jnp.where(rm == mval, rows_col, hb))
+            rmT, vals, ys, xs = carry
+            mval = jnp.max(rmT)
+            r = jnp.min(jnp.where(rmT == mval, cols_row, hb))       # row idx
             row = tile_s[pl.ds(r, 1), :]                            # (1, hb)
             c = jnp.min(jnp.where(row == mval, cols_row, hb))
             coderow = code_s[pl.ds(r, 1), :]
@@ -151,16 +160,16 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
             cd = cd.astype(jnp.int32)
             masked = jnp.where(cols_row == c, jnp.float32(-jnp.inf), row)
             tile_s[pl.ds(r, 1), :] = masked
-            rm = jnp.where(rows_col == r, jnp.max(masked), rm)
+            rmT = jnp.where(cols_row == r, jnp.max(masked), rmT)
             sel = ar_k == i
             vals = jnp.where(sel, mval, vals)
             ys = jnp.where(sel, 2 * r + cd // 2, ys)
             xs = jnp.where(sel, 2 * c + cd % 2, xs)
-            return rm, vals, ys, xs
+            return rmT, vals, ys, xs
 
         _, vals, ys, xs = jax.lax.fori_loop(
             0, k, body,
-            (rm0, jnp.zeros((k,), jnp.float32),
+            (rmT0, jnp.zeros((k,), jnp.float32),
              jnp.zeros((k,), jnp.int32), jnp.zeros((k,), jnp.int32)))
         vals_ref[0, 0] = vals
         ys_ref[0, 0] = ys
