@@ -8,8 +8,27 @@ headline single-scale 640 configuration, no flip test
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
+import signal
 import sys
 import time
+
+# Watchdog BEFORE importing jax: when the axon relay/tunnel is down, the
+# baked sitecustomize retries registration in a sleep loop and `import jax`
+# (or the first device call) hangs every python process forever. Emit the
+# zero-value JSON line instead of hanging the driver. 40 min leaves room for
+# the tunnel's slow first compile (~157 s round trip observed) plus the run.
+def _watchdog(signum, frame):
+    flip = '--flip-test' in sys.argv
+    metric = 'e2e_fps_640_1chip' + ('_flip' if flip else '')
+    print(json.dumps({"metric": metric, "value": 0.0, "unit": "img/s",
+                      "vs_baseline": 0.0, "error": "timeout (TPU tunnel down?)"}))
+    sys.stdout.flush()
+    os._exit(1)
+
+
+signal.signal(signal.SIGALRM, _watchdog)
+signal.alarm(2400)
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +107,7 @@ def main():
         except Exception as e:  # OOM fallback to smaller batch
             sys.stderr.write(f'batch {batch} failed: {type(e).__name__}: {e}\n')
             continue
+    signal.alarm(0)
     metric = 'e2e_fps_640_1chip' + ('_flip' if flip else '')
     if fps is None:
         print(json.dumps({"metric": metric, "value": 0.0,

@@ -25,8 +25,10 @@ class CocoKeypoints:
     """COCO keypoint dataset (reference data/dataset.py:14-197).
 
     `get(i, rng)` returns a dict with fixed-shape arrays ready for device
-    transfer: image (S, S, 3) float32, anns (P, J, 4), mask_miss (S, S)
-    float32 in [0, 1], plus meta.
+    transfer: image (S, S, 3) uint8, anns (P, J, 4) float32, mask_miss
+    (S, S) uint8 in [0, 255], plus meta. uint8 stays uint8 across worker
+    queues and the PCIe/ICI wire; normalization and /255 run inside the
+    consumer's jitted program (ops/image.py, ops/encoder.py::downscale_mask).
     """
 
     def __init__(self, image_dir: str, ann_file: str, *,
@@ -94,11 +96,13 @@ class CocoKeypoints:
                 self.left_index, self.right_index)
 
         return {
-            'image': T.normalize_image(image),
+            # uint8 across process/device boundaries; normalization runs on
+            # device (ops/image.py::normalize_images) -- 4x less transport
+            'image': np.ascontiguousarray(image, dtype=np.uint8),
             'anns': self._pad_persons(anns),
-            'mask_miss': (mask_miss.astype(np.float32) / 255.0
+            'mask_miss': (mask_miss.astype(np.uint8)
                           if mask_miss is not None
-                          else np.ones(image.shape[:2], np.float32)),
+                          else np.full(image.shape[:2], 255, np.uint8)),
             'meta': meta,
         }
 
@@ -159,56 +163,150 @@ def _batch_plan(dataset, batch_size, seed, shuffle, drop_last, epochs):
         epoch += 1
 
 
-def _worker_loop(dataset, seed, task_q, result_q):
-    """Aug worker process: no jax, no device access (cv2 + numpy only)."""
-    while True:
-        task = task_q.get()
-        if task is None:
-            return
-        gb, epoch, idx = task
-        try:
-            batch = _make_batch(dataset, idx, _batch_rng(seed, epoch, gb),
-                                epoch)
-            result_q.put((gb, batch, None))
-        except Exception as e:          # surface in the parent, don't hang
-            result_q.put((gb, None, f'{type(e).__name__}: {e}'))
+class _ShmSlots:
+    """Pool of fixed-size shared-memory slots for zero-pickle batch transport.
+
+    Queue-pickled batches cost serialize + pipe-chunk + deserialize per batch
+    (~13 MB at 512^2/batch-16 even with uint8 images); a shared-memory slot is
+    written once by the worker and memcpy'd once by the parent. Layout per
+    slot: image (B,S,S,3) u8 | mask (B,S,S) u8 | anns (B,P,J,4) f32.
+    """
+
+    def __init__(self, batch_size, square, max_persons, n_keypoints, n_slots):
+        self.shapes = {
+            'image': (batch_size, square, square, 3),
+            'mask_miss': (batch_size, square, square),
+            'anns': (batch_size, max_persons, n_keypoints, 4),
+        }
+        self.dtypes = {'image': np.uint8, 'mask_miss': np.uint8,
+                       'anns': np.float32}
+        self.offsets, off = {}, 0
+        for k in ('image', 'mask_miss', 'anns'):
+            self.offsets[k] = off
+            off += int(np.prod(self.shapes[k])) * np.dtype(self.dtypes[k]).itemsize
+        self.nbytes = off
+        self.n_slots = n_slots
+        self._segs = None  # created lazily (parent) / attached (workers)
+
+    def __getstate__(self):
+        # spawn pickles this object to the workers: ship the layout only,
+        # never the parent's live SharedMemory handles
+        return {k: v for k, v in self.__dict__.items() if k != '_segs'}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._segs = None
+
+    def create(self):
+        from multiprocessing import shared_memory
+        self._segs = [shared_memory.SharedMemory(create=True, size=self.nbytes)
+                      for _ in range(self.n_slots)]
+        return [s.name for s in self._segs]
+
+    def attach(self, names):
+        from multiprocessing import shared_memory
+        from multiprocessing import resource_tracker
+        self._segs = []
+        for name in names:
+            seg = shared_memory.SharedMemory(name=name)
+            # py<3.13 registers attachments with the resource tracker, which
+            # then unlinks the parent's segment when this worker exits
+            # (bpo-39959); the parent owns cleanup, so unregister here
+            try:
+                resource_tracker.unregister(seg._name, 'shared_memory')
+            except Exception:
+                pass
+            self._segs.append(seg)
+
+    def views(self, slot):
+        buf = self._segs[slot].buf
+        return {k: np.ndarray(self.shapes[k], self.dtypes[k], buffer=buf,
+                              offset=self.offsets[k])
+                for k in self.shapes}
+
+    def close(self, unlink):
+        for seg in self._segs or []:
+            try:
+                seg.close()
+                if unlink:
+                    seg.unlink()
+            except Exception:
+                pass
+
+
+def _worker_loop(dataset, seed, task_q, result_q, slots: _ShmSlots,
+                 shm_names):
+    """Aug worker process: no jax, no device access (cv2 + numpy only).
+    Writes arrays into the assigned shared-memory slot; only (indices, metas)
+    travel over the queue."""
+    slots.attach(shm_names)
+    try:
+        while True:
+            task = task_q.get()
+            if task is None:
+                return
+            gb, epoch, idx, slot = task
+            try:
+                batch = _make_batch(dataset, idx,
+                                    _batch_rng(seed, epoch, gb), epoch)
+                v = slots.views(slot)
+                n = batch['image'].shape[0]
+                for k in ('image', 'mask_miss', 'anns'):
+                    v[k][:n] = batch[k]
+                result_q.put((gb, slot, n, batch['metas'], epoch, None))
+            except Exception as e:      # surface in the parent, don't hang
+                result_q.put((gb, -1, 0, None, epoch,
+                              f'{type(e).__name__}: {e}'))
+    finally:
+        slots.close(unlink=False)
 
 
 def _mp_batch_iterator(dataset, batch_size, seed, shuffle, drop_last,
                        prefetch, epochs, num_workers) -> Iterator[Dict]:
     """N-process augmentation pool (reference data/factory.py:109-156
-    num_workers equivalent). Batches are handed out round-robin and re-ordered
-    in the parent, so iteration order matches the serial path exactly."""
+    num_workers equivalent). Batches move through shared-memory slots (no
+    per-batch pickling) and are re-ordered in the parent, so contents and
+    order match the serial path exactly."""
     import multiprocessing as mp
     ctx = mp.get_context('spawn')       # never fork a jax-initialized parent
+    max_in_flight = num_workers + max(prefetch, 1)
+    slots = _ShmSlots(batch_size, dataset.square, dataset.max_persons,
+                      dataset.skeleton.n_keypoints, n_slots=max_in_flight)
+    shm_names = slots.create()
     task_q = ctx.Queue()
-    result_q = ctx.Queue(maxsize=max(prefetch, num_workers) + 1)
+    result_q = ctx.Queue()
     workers = [ctx.Process(target=_worker_loop,
-                           args=(dataset, seed, task_q, result_q),
+                           args=(dataset, seed, task_q, result_q, slots,
+                                 shm_names),
                            daemon=True)
                for _ in range(num_workers)]
     for w in workers:
         w.start()
     plan = _batch_plan(dataset, batch_size, seed, shuffle, drop_last, epochs)
-    max_in_flight = num_workers + max(prefetch, 1)
     pending: Dict[int, Dict] = {}
+    free_slots = list(range(max_in_flight))
     try:
         in_flight, next_emit, exhausted = 0, 0, False
         while True:
-            while in_flight < max_in_flight and not exhausted:
+            while free_slots and not exhausted:
                 task = next(plan, None)
                 if task is None:
                     exhausted = True
                     break
-                task_q.put(task)
+                gb, epoch, idx = task
+                task_q.put((gb, epoch, idx, free_slots.pop()))
                 in_flight += 1
             if in_flight == 0:
                 return
-            gb, batch, err = result_q.get()
+            gb, slot, n, metas, epoch, err = result_q.get()
             in_flight -= 1
             if err is not None:
                 raise RuntimeError(f'data worker failed on batch {gb}: {err}')
-            pending[gb] = batch
+            v = slots.views(slot)
+            pending[gb] = {k: v[k][:n].copy()
+                           for k in ('image', 'anns', 'mask_miss')}
+            pending[gb].update(metas=metas, epoch=epoch)
+            free_slots.append(slot)
             while next_emit in pending:
                 yield pending.pop(next_emit)
                 next_emit += 1
@@ -219,6 +317,7 @@ def _mp_batch_iterator(dataset, batch_size, seed, shuffle, drop_last,
             w.join(timeout=2.0)
             if w.is_alive():
                 w.terminate()
+        slots.close(unlink=True)
 
 
 def batch_iterator(dataset: CocoKeypoints, batch_size: int, *,

@@ -28,6 +28,8 @@ from ..config.defaults import EvalConfig, SkeletonConfig
 from ..data import transforms as T
 from ..data.coco import CocoJson
 from ..decoder import PostProcessor
+from ..ops.image import normalize_images as normalize_on_device
+# uint8 -> ImageNet-normalized float32 inside jit; shared with the train step
 
 
 def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
@@ -61,12 +63,6 @@ def preprocess_eval(image: np.ndarray, anns: np.ndarray, cfg: EvalConfig,
     return (T.normalize_image(image) if normalize else image), anns, meta
 
 
-def normalize_on_device(images_u8: jax.Array) -> jax.Array:
-    """uint8 RGB (N, H, W, 3) -> ImageNet-normalized float32, inside jit
-    (same math as data/transforms.py::normalize_image)."""
-    mean = jnp.asarray(T.DATA_MEAN, jnp.float32)
-    std = jnp.asarray(T.DATA_STD, jnp.float32)
-    return (images_u8.astype(jnp.float32) / 255.0 - mean) / std
 
 
 def make_infer_fn(model, variables, pp: PostProcessor, flip_test: bool,

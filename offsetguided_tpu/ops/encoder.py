@@ -175,13 +175,16 @@ def _encode_single(anns, *, sigmas, skeleton, out_h, out_w, cfg: EncoderConfig):
 
 
 def downscale_mask(mask_miss: jax.Array, cfg: EncoderConfig) -> jax.Array:
-    """Input-resolution mask (N, H, W) float in [0,1] -> bool (N, Ho, Wo, 1).
+    """Input-resolution mask (N, H, W) float in [0,1] (or uint8 in [0,255],
+    as the host pipeline ships it) -> bool (N, Ho, Wo, 1).
 
     The reference bicubic-downscales the 0/255 mask and thresholds at 0.7
     (encoder/heatmap.py:56-60). Downsampling by the integer stride with
     half-pixel alignment reduces to a strided 4-tap cubic filter.
     """
     from .resize import _cubic_kernel
+    if mask_miss.dtype == jnp.uint8:
+        mask_miss = mask_miss.astype(jnp.float32) / 255.0
     s = cfg.stride
     # single-phase downsample: src = (i + 0.5) * s - 0.5 = i*s + (s-1)/2,
     # so every output taps the same 4 relative input positions.

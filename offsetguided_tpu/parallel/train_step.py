@@ -17,6 +17,7 @@ import optax
 
 from ..config.defaults import LossConfig, TrainConfig
 from ..ops.encoder import Targets
+from ..ops.image import normalize_images
 from ..ops.losses import compute_losses
 
 
@@ -52,9 +53,11 @@ def make_train_step(model, tx, loss_cfg: LossConfig,
     """Returns a jittable train_step(state, images, targets, mask) function."""
 
     def loss_fn(params, batch_stats, images, targets, mask):
+        # images arrive uint8 over the wire (data/pipeline.py); normalize
+        # on device inside the step's program
         out, mutated = model.apply(
             {'params': params, 'batch_stats': batch_stats},
-            images, train=True, mutable=['batch_stats'])
+            normalize_images(images), train=True, mutable=['batch_stats'])
         losses = compute_losses(out, targets, mask, loss_cfg)
         return losses['total'], (losses, mutated['batch_stats'])
 
@@ -84,7 +87,7 @@ def make_eval_step(model, loss_cfg: LossConfig):
     def eval_step(state: TrainState, images, targets, mask):
         out = model.apply(
             {'params': state.params, 'batch_stats': state.batch_stats},
-            images, train=False)
+            normalize_images(images), train=False)
         return compute_losses(out, targets, mask, loss_cfg)
 
     return eval_step

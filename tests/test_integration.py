@@ -85,7 +85,8 @@ def test_dataset_pipeline_shapes(coco_dir):
     assert b['image'].shape == (2, 64, 64, 3)
     assert b['anns'].shape == (2, 8, 17, 4)
     assert b['mask_miss'].shape == (2, 64, 64)
-    assert b['image'].dtype == np.float32
+    assert b['image'].dtype == np.uint8       # normalized on device
+    assert b['mask_miss'].dtype == np.uint8
 
 
 def test_loader_worker_count_invariance(coco_dir):
@@ -97,15 +98,19 @@ def test_loader_worker_count_invariance(coco_dir):
     img_dir, ann_file = coco_dir
     ds = CocoKeypoints(img_dir, ann_file, aug=AugmentationConfig(
         square_length=64, max_translate=10), square_length=64, max_persons=8)
-    serial = list(batch_iterator(ds, batch_size=2, epochs=2, seed=3))
-    parallel = list(batch_iterator(ds, batch_size=2, epochs=2, seed=3,
-                                   num_workers=2))
-    assert len(serial) == len(parallel) == 4
-    for a, b in zip(serial, parallel):
-        np.testing.assert_array_equal(a['image'], b['image'])
-        np.testing.assert_array_equal(a['anns'], b['anns'])
-        np.testing.assert_array_equal(a['mask_miss'], b['mask_miss'])
-        assert a['epoch'] == b['epoch']
+    # batch_size 3 over 4 images with drop_last=False also exercises the
+    # PARTIAL final batch through the fixed-size shared-memory slots
+    for bs, drop_last, n_expect in ((2, True, 4), (3, False, 4)):
+        serial = list(batch_iterator(ds, batch_size=bs, epochs=2, seed=3,
+                                     drop_last=drop_last))
+        parallel = list(batch_iterator(ds, batch_size=bs, epochs=2, seed=3,
+                                       drop_last=drop_last, num_workers=2))
+        assert len(serial) == len(parallel) == n_expect
+        for a, b in zip(serial, parallel):
+            np.testing.assert_array_equal(a['image'], b['image'])
+            np.testing.assert_array_equal(a['anns'], b['anns'])
+            np.testing.assert_array_equal(a['mask_miss'], b['mask_miss'])
+            assert a['epoch'] == b['epoch']
 
 
 def test_loader_worker_error_propagates(coco_dir):

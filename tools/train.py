@@ -287,13 +287,19 @@ def main(argv=None):
                                     train_loss)
         return path if jax.process_index() == 0 else None
 
-    def device_batch(batch):
-        images = put(batch['image'])
-        anns = put(batch['anns'])
-        mask_in = put(batch['mask_miss'])
+    @jax.jit
+    def _encode(anns, mask_in):
+        # one jitted program instead of per-op eager dispatch (the scan over
+        # persons alone is hundreds of dispatches per batch otherwise)
         targets = encode_targets(anns, sigmas, skeleton.skeleton,
                                  out_hw, out_hw, enc_cfg)
-        mask = downscale_mask(mask_in, enc_cfg)
+        return targets, downscale_mask(mask_in, enc_cfg)
+
+    def device_batch(batch):
+        images = put(batch['image'])          # uint8; normalized in-step
+        anns = put(batch['anns'])
+        mask_in = put(batch['mask_miss'])
+        targets, mask = _encode(anns, mask_in)
         return images, targets, mask
 
     # optional validation-loss pass per epoch (reference test(),
