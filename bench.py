@@ -45,7 +45,7 @@ BASELINE_FPS = 30.0  # reference 2080 Ti end-to-end FPS
 
 
 def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16',
-          flip_test=False):
+          flip_test=False, peaks_map_batch=1):
     from offsetguided_tpu.config.defaults import DecoderConfig, ModelConfig
     from offsetguided_tpu.decoder import PostProcessor
     from offsetguided_tpu.models import PoseNet
@@ -59,7 +59,8 @@ def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16',
                            train=False)
     pp = PostProcessor(cfg=DecoderConfig(
         topk=32, thre_hmp=0.04, dist_max=40.0,
-        upsampled_decode=upsampled_decode))
+        upsampled_decode=upsampled_decode,
+        peaks_map_batch=peaks_map_batch))
 
     @jax.jit
     def infer(vars_, img):
@@ -98,10 +99,14 @@ def timed_fps(infer, variables, image, n1=4, n2=12):
 def main():
     flip = '--flip-test' in sys.argv     # extra mode for BENCHMARKS.md runs;
     size = 640                           # the driver invokes with no args
+    pmb = 1                              # --peaks-map-batch N: A/B knob
+    if '--peaks-map-batch' in sys.argv:
+        pmb = int(sys.argv[sys.argv.index('--peaks-map-batch') + 1])
     fps = None
     for batch in (8, 4, 2, 1):
         try:
-            infer, variables, image = build(batch, size, flip_test=flip)
+            infer, variables, image = build(batch, size, flip_test=flip,
+                                            peaks_map_batch=pmb)
             fps = timed_fps(infer, variables, image)
             break
         except Exception as e:  # OOM fallback to smaller batch

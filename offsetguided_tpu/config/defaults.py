@@ -126,6 +126,11 @@ class DecoderConfig:
     # jitter map with transposed coordinates (jomps[i, :, x, y]); this
     # implementation uses the intended [y, x] indexing.
     guid_jitter_refine: bool = False
+    # maps processed per grid step by the fused peaks kernel; >1 batches the
+    # top-k extraction loop across maps stacked along sublanes
+    # (ops/pallas/peaks_pallas.py::_fused_peaks_batched). Results are
+    # identical per map; this is purely a performance knob.
+    peaks_map_batch: int = 1
     # extra merge-only passes AFTER the last limb iteration. Our grouping
     # merges at most one mergee per target row per iteration (remaining
     # pairs settle on later iterations); without settling, pairs still

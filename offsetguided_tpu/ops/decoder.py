@@ -540,7 +540,8 @@ def collect_limbs_peak_fused(
     k = cfg.topk
     bt = hmps.transpose(0, 3, 1, 2).reshape(n * c, h, w)
     vals, pys, pxs = fused_peaks_topk_pallas(
-        bt, k, factor=stride, method=cfg.resize_mode, interpret=interpret)
+        bt, k, factor=stride, method=cfg.resize_mode, interpret=interpret,
+        maps_per_step=cfg.peaks_map_batch)
     scores = vals.reshape(n, c, k)
     ys = pys.reshape(n, c, k)
     xs = pxs.reshape(n, c, k)

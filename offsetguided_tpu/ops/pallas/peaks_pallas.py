@@ -105,7 +105,8 @@ def _peaks_core(x, ue, uo):
 
 def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
                             method: str = 'bicubic',
-                            interpret: bool = False):
+                            interpret: bool = False,
+                            maps_per_step: int = 1):
     """(B, h, w) stride-res maps -> (scores, ys, xs), each (B, k), of the
     top-k NMS peaks of the x`factor` upsampled maps, in FULL-resolution
     pixel coordinates. The upsampled map, its NMS and the block maxima all
@@ -114,7 +115,14 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
     Exactness: identical to upsample2d_matmul + hmp_nms + 2x2 block-reduce
     top-k (descending, ties by lowest flat block index, first-wins
     within-block) up to f32 matmul summation order.
+
+    `maps_per_step` > 1 processes that many maps per grid step with the
+    top-k extraction loop batched across them (maps stacked along sublanes,
+    see `_fused_peaks_batched`); results are identical per map.
     """
+    if maps_per_step > 1:
+        return _fused_peaks_batched(maps, k, factor, method, interpret,
+                                    maps_per_step)
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -195,3 +203,114 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
         interpret=interpret,
     )(maps.astype(jnp.float32), jnp.asarray(ue_np), jnp.asarray(uo_np))
     return vals[:, 0], ys[:, 0], xs[:, 0]
+
+
+def _fused_peaks_batched(maps, k, factor, method, interpret, mb):
+    """`fused_peaks_topk_pallas` with `mb` maps per grid step.
+
+    Rationale: the iterative extraction loop dominates the single-map kernel
+    (~88% measured) and its vector ops run on (1, hb) / (mb, hb) tiles that
+    occupy the SAME number of vregs for mb <= 8 (vregs are (8, 128); a
+    one-sublane vector wastes 7/8 of each register). Stacking mb maps along
+    sublanes batches every reduction/select in the loop at no extra vector
+    cost; only the per-map scalar row index extraction, the two dynamic row
+    reads and the one dynamic row write stay per-map (each touches a single
+    (1, hb) row). The matmul/NMS phase is per-map either way.
+
+    Per-map results are bit-identical to the single-map kernel: each map's
+    scratch tile, row maxima and tie-break reductions are disjoint
+    (map m owns scratch rows [m*hb, (m+1)*hb)).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = maps.shape
+    assert h == w, 'square maps (the parity matrices are shared per axis)'
+    assert factor % 2 == 0
+    hb = h * factor // 2
+    ue_np, uo_np = _parity_matrices(h, factor, method)
+    b_pad = -(-b // mb) * mb
+    if b_pad != b:   # zero maps decode to zero-score peaks; sliced off below
+        maps = jnp.concatenate(
+            [maps, jnp.zeros((b_pad - b, h, w), maps.dtype)], axis=0)
+
+    def kernel(x_ref, ue_ref, uo_ref, vals_ref, ys_ref, xs_ref,
+               tile_s, code_s):
+        ue, uo = ue_ref[...], uo_ref[...]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (hb, hb), 1))
+        rmT_rows = []
+        for m in range(mb):
+            best, code = _peaks_core(x_ref[m], ue, uo)
+            tile_s[m * hb:(m + 1) * hb, :] = best
+            code_s[m * hb:(m + 1) * hb, :] = code
+            # lane-major per-row maxima via the eye-masked transpose (see
+            # the single-map kernel for why full-tile transposes lose)
+            rm0 = jnp.max(best, axis=1, keepdims=True)          # (hb, 1)
+            rmT_rows.append(jnp.max(
+                jnp.where(eye, rm0, jnp.float32(-jnp.inf)),
+                axis=0, keepdims=True))                          # (1, hb)
+        rmT0 = jnp.concatenate(rmT_rows, axis=0)                 # (mb, hb)
+
+        cols = jax.lax.broadcasted_iota(jnp.int32, (mb, hb), 1)
+        rows_id = jax.lax.broadcasted_iota(jnp.int32, (mb, 1), 0)
+        ar_k = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+        def body(i, carry):
+            rmT, vals, ys, xs = carry
+            mval = jnp.max(rmT, axis=1, keepdims=True)           # (mb, 1)
+            r = jnp.min(jnp.where(rmT == mval, cols, hb),
+                        axis=1, keepdims=True)                   # (mb, 1)
+            # per-map scalar row index -> dynamic row reads into a stacked
+            # (mb, hb) buffer; everything after is batched
+            r_scalars = [jnp.min(jnp.where(rows_id == m, r, hb))
+                         for m in range(mb)]
+            rowbuf = jnp.concatenate(
+                [tile_s[pl.ds(m * hb + r_scalars[m], 1), :]
+                 for m in range(mb)], axis=0)                    # (mb, hb)
+            codebuf = jnp.concatenate(
+                [code_s[pl.ds(m * hb + r_scalars[m], 1), :]
+                 for m in range(mb)], axis=0)
+            c = jnp.min(jnp.where(rowbuf == mval, cols, hb),
+                        axis=1, keepdims=True)                   # (mb, 1)
+            cd = jnp.max(jnp.where(cols == c, codebuf, -1.0),
+                         axis=1, keepdims=True).astype(jnp.int32)
+            masked = jnp.where(cols == c, jnp.float32(-jnp.inf), rowbuf)
+            for m in range(mb):
+                tile_s[pl.ds(m * hb + r_scalars[m], 1), :] = masked[m:m + 1]
+            rmT = jnp.where(cols == r,
+                            jnp.max(masked, axis=1, keepdims=True), rmT)
+            sel = ar_k == i                                      # (1, k)
+            vals = jnp.where(sel, mval, vals)                    # (mb, k)
+            ys = jnp.where(sel, 2 * r + cd // 2, ys)
+            xs = jnp.where(sel, 2 * c + cd % 2, xs)
+            return rmT, vals, ys, xs
+
+        _, vals, ys, xs = jax.lax.fori_loop(
+            0, k, body,
+            (rmT0, jnp.zeros((mb, k), jnp.float32),
+             jnp.zeros((mb, k), jnp.int32), jnp.zeros((mb, k), jnp.int32)))
+        vals_ref[...] = vals.reshape(mb, 1, k)
+        ys_ref[...] = ys.reshape(mb, 1, k)
+        xs_ref[...] = xs.reshape(mb, 1, k)
+
+    out_spec = pl.BlockSpec((mb, 1, k), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    vals, ys, xs = pl.pallas_call(
+        kernel,
+        grid=(b_pad // mb,),
+        in_specs=[pl.BlockSpec((mb, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((h, hb), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((h, hb), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((b_pad, 1, k), jnp.float32),
+                   jax.ShapeDtypeStruct((b_pad, 1, k), jnp.int32),
+                   jax.ShapeDtypeStruct((b_pad, 1, k), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((mb * hb, hb), jnp.float32),
+                        pltpu.VMEM((mb * hb, hb), jnp.float32)],
+        interpret=interpret,
+    )(maps.astype(jnp.float32), jnp.asarray(ue_np), jnp.asarray(uo_np))
+    return vals[:b, 0], ys[:b, 0], xs[:b, 0]

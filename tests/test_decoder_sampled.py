@@ -131,6 +131,27 @@ def test_fused_peaks_kernel_matches_xla_chain(rng):
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(x_ref)[:, 0])
 
 
+def test_fused_peaks_map_batched_matches_single(rng):
+    """maps_per_step > 1 is bit-identical to the single-map kernel, including
+    tie-breaking (quantized values force equal peaks) and a batch size not
+    divisible by the map batch (zero-padded tail maps sliced off)."""
+    from offsetguided_tpu.ops.pallas.peaks_pallas import fused_peaks_topk_pallas
+
+    h, k, stride = 16, 6, 4
+    for b, mb in ((6, 3), (5, 2), (4, 4)):
+        # coarse quantization -> many exact-value ties across and within maps
+        x = np.round(rng.rand(b, h, h).astype(np.float32) * 8) / 8
+        xn = jnp.asarray(x)
+        v1, y1, x1 = fused_peaks_topk_pallas(xn, k, factor=stride,
+                                             method='bicubic', interpret=True)
+        vb, yb, xb = fused_peaks_topk_pallas(xn, k, factor=stride,
+                                             method='bicubic', interpret=True,
+                                             maps_per_step=mb)
+        np.testing.assert_array_equal(np.asarray(vb), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(yb), np.asarray(y1))
+        np.testing.assert_array_equal(np.asarray(xb), np.asarray(x1))
+
+
 def test_collect_fused_matches_sampled(rng):
     """collect_limbs_peak_fused == collect_limbs_peak_sampled end to end."""
     n, h, c = 2, 12, 17

@@ -58,6 +58,10 @@ def cli(argv=None):
     p.add_argument('--guid-jitter-refine', action='store_true',
                    help='refine regressed guiding endpoints with the jitter '
                         'offset before pairing (reference collect.py:158-165)')
+    p.add_argument('--peaks-map-batch', type=int, default=1,
+                   help='heatmap channels per fused-peaks grid step (>1 '
+                        'batches the top-k loop across channels; identical '
+                        'results, TPU perf knob)')
     p.add_argument('--io-workers', type=int, default=4,
                    help='host IO/preprocess threads feeding the device loop')
     p.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
@@ -123,7 +127,8 @@ def main(argv=None):
         upsampled_decode=not args.lowres_decode,
         scored_offset=args.scored_offset,
         cat_flip_offs=args.cat_flip_offset,
-        guid_jitter_refine=args.guid_jitter_refine))
+        guid_jitter_refine=args.guid_jitter_refine,
+        peaks_map_batch=args.peaks_map_batch))
     eval_cfg = EvalConfig(long_edge=args.long_edge,
                           fixed_height=args.fixed_height,
                           max_stride=args.max_stride,
