@@ -27,8 +27,13 @@ def _watchdog(signum, frame):
     os._exit(1)
 
 
-signal.signal(signal.SIGALRM, _watchdog)
-signal.alarm(2400)
+if __name__ == '__main__':
+    # armed only when run as the benchmark (importers of build()/timed_fps
+    # must not inherit a delayed os._exit), and re-armed per batch attempt
+    # in main() so an OOM-fallback chain of slow tunnel compiles is not
+    # mistaken for a hang
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(2400)
 
 import jax
 import jax.numpy as jnp
@@ -101,10 +106,14 @@ def main():
     size = 640                           # the driver invokes with no args
     pmb = 1                              # --peaks-map-batch N: A/B knob
     if '--peaks-map-batch' in sys.argv:
-        pmb = int(sys.argv[sys.argv.index('--peaks-map-batch') + 1])
+        try:
+            pmb = int(sys.argv[sys.argv.index('--peaks-map-batch') + 1])
+        except (IndexError, ValueError):
+            sys.stderr.write('--peaks-map-batch needs an int; using 1\n')
     fps = None
     for batch in (8, 4, 2, 1):
         try:
+            signal.alarm(2400)           # fresh budget per batch attempt
             infer, variables, image = build(batch, size, flip_test=flip,
                                             peaks_map_batch=pmb)
             fps = timed_fps(infer, variables, image)

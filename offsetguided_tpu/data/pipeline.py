@@ -298,7 +298,22 @@ def _mp_batch_iterator(dataset, batch_size, seed, shuffle, drop_last,
                 in_flight += 1
             if in_flight == 0:
                 return
-            gb, slot, n, metas, epoch, err = result_q.get()
+            while True:
+                # bounded get + liveness check: a worker SIGKILLed mid-batch
+                # (OOM killer, cv2 segfault) never enqueues its result; a
+                # bare blocking get() would freeze training silently
+                try:
+                    gb, slot, n, metas, epoch, err = result_q.get(timeout=5.0)
+                    break
+                except queue.Empty:
+                    dead = [w for w in workers if not w.is_alive()]
+                    if dead:
+                        raise RuntimeError(
+                            f'{len(dead)} data worker(s) died without a '
+                            f'result (exitcodes '
+                            f'{[w.exitcode for w in dead]}); likely OOM kill '
+                            'or a native crash in cv2 -- reduce '
+                            '--loader-workers or batch size')
             in_flight -= 1
             if err is not None:
                 raise RuntimeError(f'data worker failed on batch {gb}: {err}')

@@ -134,6 +134,8 @@ def fused_peaks_topk_pallas(maps: jax.Array, k: int, factor: int = 4,
 
     def kernel(x_ref, ue_ref, uo_ref, vals_ref, ys_ref, xs_ref,
                tile_s, code_s):
+        # NOTE: tie-break/extraction semantics are mirrored in
+        # _fused_peaks_batched below -- apply semantic changes to BOTH
         best, code = _peaks_core(x_ref[0], ue_ref[...], uo_ref[...])
         tile_s[...] = best
         code_s[...] = code
