@@ -124,6 +124,37 @@ def test_loader_worker_error_propagates(coco_dir):
         list(batch_iterator(ds, batch_size=2, epochs=1, num_workers=2))
 
 
+class _HardCrashDataset:
+    """Pickles into spawn workers; kills the process on first get() --
+    bypasses the worker's try/except, simulating an OOM-kill/cv2 segfault."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        # layout attributes _mp_batch_iterator reads in the parent
+        self.square = inner.square
+        self.max_persons = inner.max_persons
+        self.skeleton = inner.skeleton
+
+    def __len__(self):
+        return len(self._inner)
+
+    def get(self, i, rng, epoch=0):
+        import os
+        os._exit(3)
+
+
+def test_loader_worker_death_detected(coco_dir):
+    """A worker killed WITHOUT enqueueing a result (OOM killer, native
+    crash) must raise in the parent via the liveness check, not hang on
+    result_q.get() forever."""
+    import pytest
+    from offsetguided_tpu.data import CocoKeypoints, batch_iterator
+    img_dir, ann_file = coco_dir
+    ds = _HardCrashDataset(CocoKeypoints(img_dir, ann_file, square_length=64))
+    with pytest.raises(RuntimeError, match='died without a result'):
+        list(batch_iterator(ds, batch_size=2, epochs=1, num_workers=1))
+
+
 def test_oracle_simulate_ap(coco_dir):
     """GT -> encoder -> decoder -> inverse -> OKS AP must be near-perfect."""
     from offsetguided_tpu.data import transforms as T
