@@ -61,9 +61,9 @@ class KeypointPainter:
     def keypoints(self, ax, poses: np.ndarray,
                   scores: Optional[Sequence[float]] = None,
                   skeleton=None):
-        import matplotlib.cm as cm
+        import matplotlib
         skeleton = skeleton or self.cfg.skeleton
-        cmap = cm.get_cmap('tab20')
+        cmap = matplotlib.colormaps['tab20']
         for pi, pose in enumerate(np.asarray(poses)):
             color = cmap(pi % 20)
             xs, ys, vs = pose[:, 0], pose[:, 1], pose[:, 2]

@@ -1,103 +1,13 @@
 #!/usr/bin/env python
-"""Model export + summary: StableHLO serialization and FLOPs/param counting.
-
-TPU-native counterpart of the reference's debug tooling (torchsummary +
-torch.onnx export + thop FLOPs, models/hourglass_104.py:395-433): the jitted
-forward is exported with `jax.export` (StableHLO bytes, loadable by any
-XLA-based serving stack), and compute cost comes from XLA's own cost analysis.
-"""
-import argparse
+"""Shim for a source checkout; the implementation lives in
+offsetguided_tpu.cli.export (installed as a console script)."""
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-
-def cli(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument('--basenet', default='hourglass104',
-                   choices=['hourglass104', 'hourglass52', 'hourglass4stage'])
-    p.add_argument('--input-size', type=int, default=512)
-    p.add_argument('--batch-size', type=int, default=1)
-    p.add_argument('--output', default=None,
-                   help='write serialized StableHLO to this path')
-    p.add_argument('--checkpoint', default=None)
-    p.add_argument('--torch-checkpoint', default=None)
-    p.add_argument('--with-decode', action='store_true',
-                   help='export forward + full decode instead of forward only')
-    p.add_argument('--debug-tiny-model', action='store_true')
-    return p.parse_args(argv)
-
-
-def summarize(variables) -> dict:
-    """Per-top-module parameter counts (torchsummary-style)."""
-    out = {}
-    total = 0
-    for top, sub in variables['params'].items():
-        n = sum(int(np.prod(x.shape))
-                for x in jax.tree_util.tree_leaves(sub))
-        out[top] = n
-        total += n
-    out['TOTAL'] = total
-    return out
-
-
-def main(argv=None):
-    args = cli(argv)
-    from offsetguided_tpu.config.defaults import DecoderConfig, ModelConfig
-    from offsetguided_tpu.models import PoseNet, checkpoint as ckpt
-
-    if args.debug_tiny_model:
-        cfg = ModelConfig(basenet=args.basenet, n_stacks=1, hg_order=2,
-                          dims=(8, 8, 12), modules=(1, 1, 1), cnv_dim=8,
-                          compute_dtype='float32')
-    else:
-        cfg = ModelConfig(basenet=args.basenet)
-    model = PoseNet(cfg)
-    s = args.input_size
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 128, 128, 3)), train=False)
-    if args.torch_checkpoint:
-        variables, _ = ckpt.load_torch_checkpoint(args.torch_checkpoint,
-                                                  variables, cfg)
-
-    for name, n in summarize(variables).items():
-        print(f'{name:>20}: {n / 1e6:10.3f} M params')
-
-    if args.with_decode:
-        from offsetguided_tpu.decoder import PostProcessor
-        pp = PostProcessor(cfg=DecoderConfig())
-
-        def fwd(v, x):
-            return pp._decode_body(model.apply(v, x, train=False), False)
-    else:
-        def fwd(v, x):
-            return model.apply(v, x, train=False)
-
-    x = jnp.zeros((args.batch_size, s, s, 3), jnp.float32)
-    lowered = jax.jit(fwd).lower(variables, x)
-    try:
-        cost = lowered.compile().cost_analysis()
-        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
-        flops = cost.get('flops', float('nan'))
-        print(f'XLA cost analysis: {flops / 1e9:.2f} GFLOPs '
-              f'({flops / 2e9:.2f} GMACs) @ {args.batch_size}x{s}x{s} '
-              f'(reference thop count, which tallies MACs: 234.5 G @512^2)')
-    except Exception as e:  # cost analysis is backend-dependent
-        print(f'cost analysis unavailable: {e}')
-
-    if args.output:
-        exported = jax.export.export(jax.jit(fwd))(variables, x)
-        data = exported.serialize()
-        with open(args.output, 'wb') as f:
-            f.write(data)
-        print(f'wrote StableHLO export: {args.output} '
-              f'({len(data) / 1e6:.1f} MB)')
-
+from offsetguided_tpu.cli.export import *  # noqa: F401,F403
+from offsetguided_tpu.cli.export import main  # noqa: F401
 
 if __name__ == '__main__':
     main()
