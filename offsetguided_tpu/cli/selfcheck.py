@@ -103,8 +103,8 @@ def main(argv=None):
     from offsetguided_tpu.eval.harness import run_images
     from offsetguided_tpu.models import PoseNet
     from offsetguided_tpu.ops.encoder import downscale_mask, encode_targets
-    from offsetguided_tpu.parallel import (create_train_state, make_optimizer,
-                                           make_train_step)
+    from offsetguided_tpu.parallel import (create_train_state, jit_train_step,
+                                           make_optimizer)
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix='selfcheck_'))
     img_dir, ann_file = make_dataset(tmp)
@@ -129,7 +129,7 @@ def main(argv=None):
                           lambdas=(1.0, 0.1, 100.0, 300.0, 1.0))
     tx = make_optimizer(TrainConfig(learning_rate=2e-3))
     state = create_train_state(variables, tx)
-    step = jax.jit(make_train_step(model, tx, loss_cfg))
+    step = jit_train_step(model, tx, loss_cfg)
     sig = np.asarray(COCO_PERSON_SIGMAS)
     out_hw = S // 4
 

@@ -150,7 +150,7 @@ def main(argv=None):
     from offsetguided_tpu.ops.encoder import downscale_mask, encode_targets
     from offsetguided_tpu.parallel import (batch_sharding, create_train_state,
                                            make_mesh, make_optimizer,
-                                           make_train_step, replicated,
+                                           jit_train_step, replicated,
                                            step_lr_schedule)
     from offsetguided_tpu.utils import AverageMeter, Throughput, configure, \
         log_record
@@ -250,7 +250,8 @@ def main(argv=None):
 
     state = jax.device_put(state, replicated(mesh))
     bsh = batch_sharding(mesh)
-    train_step = jax.jit(make_train_step(model, tx, loss_cfg))
+    # state donated: optimizer state updated in place, not double-buffered
+    train_step = jit_train_step(model, tx, loss_cfg)
     out_hw = args.square_length // enc_cfg.stride
     sigmas = np.asarray(skeleton.sigmas)
     n_proc = jax.process_count()

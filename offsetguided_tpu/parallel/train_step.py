@@ -81,6 +81,20 @@ def make_train_step(model, tx, loss_cfg: LossConfig,
     return train_step
 
 
+def jit_train_step(model, tx, loss_cfg: LossConfig,
+                   explosion_guard: float = 1e8):
+    """jitted train step with the TrainState donated.
+
+    Donating argument 0 aliases the old params/opt-state/BN buffers to the
+    new state's outputs, so the ~3x-params fp32 optimizer state is updated
+    in place instead of double-buffered — at Hourglass-104 scale (187.7M
+    params) that returns ~2.2 GB of HBM to activations/batch. Callers must
+    rebind `state` from the return value (all in-repo loops do).
+    """
+    return jax.jit(make_train_step(model, tx, loss_cfg, explosion_guard),
+                   donate_argnums=(0,))
+
+
 def make_eval_step(model, loss_cfg: LossConfig):
     """Validation loss step (reference test(), train_dist.py:390-455)."""
 

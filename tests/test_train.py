@@ -125,3 +125,28 @@ def test_sharded_inference_decode(rng):
     single = make_infer_fn(model, variables, pp, flip_test=False)
     p2, s2, c2 = single(jax.device_put(images, jax.devices()[0]))
     np.testing.assert_allclose(np.asarray(poses), np.asarray(p2), atol=1e-4)
+
+
+def test_donated_train_step(rng):
+    """jit_train_step donates the TrainState: the old state's buffers are
+    aliased into the new state (in-place optimizer update, no
+    double-buffering) and training proceeds identically across steps."""
+    from offsetguided_tpu.parallel import jit_train_step
+
+    cfg, model = tiny_model()
+    images, targets, mask = synth_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    loss_cfg = LossConfig(stack_weights=(1.0,), fgamma=2.0)
+    tx = make_optimizer(TrainConfig(learning_rate=3e-4))
+    state = create_train_state(variables, tx)
+    step = jit_train_step(model, tx, loss_cfg)
+
+    old_leaf = jax.tree_util.tree_leaves(state.params)[0]
+    state, metrics = step(state, images, targets, mask)
+    # donation honored (CPU and TPU both alias same-shape state buffers)
+    assert old_leaf.is_deleted()
+    # the donated chain keeps stepping and stays finite
+    for _ in range(2):
+        state, metrics = step(state, images, targets, mask)
+    assert np.isfinite(float(metrics['total']))
+    assert int(state.step) == 3
