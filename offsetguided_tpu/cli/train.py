@@ -57,6 +57,11 @@ def cli(argv=None):
     g.add_argument('--n-limbs', type=int, default=19,
                    choices=[16, 19, 25, 31, 44])
     g.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
+    g.add_argument('--remat', action='store_true',
+                   help='rematerialize each hourglass stack in the backward '
+                        '(jax.checkpoint): ~n_stacks x less activation HBM '
+                        'for ~1 extra forward per stack; enables larger '
+                        'per-chip batches')
 
     g = p.add_argument_group('optimization')
     g.add_argument('--optimizer', default='adam', choices=['adam', 'sgd'])
@@ -169,10 +174,11 @@ def main(argv=None):
         model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
                                 hg_order=2, dims=(16, 16, 24),
                                 modules=(1, 1, 1), cnv_dim=16,
-                                compute_dtype='float32', heads=heads)
+                                compute_dtype='float32', heads=heads,
+                                remat=args.remat)
     else:
         model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
-                                heads=heads)
+                                heads=heads, remat=args.remat)
     enc_cfg = EncoderConfig(max_persons=args.max_persons, sigma=args.sigma,
                             gaussian_clip=args.gaussian_clip,
                             fill_jitter_size=args.fill_jitter_size,

@@ -176,6 +176,13 @@ class ModelConfig:
     # math, 4x the MXU contraction depth on the 3-channel input; measured 8%
     # MFU dense vs near-roofline s2d on v5e). Params are unaffected.
     stem_s2d: bool = True
+    # rematerialize each hourglass stack in the backward pass
+    # (jax.checkpoint): activations inside a stack are recomputed instead of
+    # stored, trading ~1 extra forward per stack for ~n_stacks x less
+    # activation HBM — the lever for larger train batches per chip. Param
+    # tree layout is unchanged (explicit module names), so checkpoints are
+    # interchangeable between remat and non-remat runs.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

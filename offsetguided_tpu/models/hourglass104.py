@@ -81,10 +81,14 @@ class Hourglass104(nn.Module):
         x = ConvBN(128, kernel=7, stride=2, s2d=cfg.stem_s2d, **kw)(x, train)
         inter = BasicResidual(256, stride=2, **kw)(x, train)
 
+        # remat: recompute each stack's activations in the backward instead
+        # of storing them; explicit names keep the param tree identical
+        kp_cls = (nn.remat(KPModule, static_argnums=(2,)) if cfg.remat
+                  else KPModule)
         outs = []
         for ind in range(cfg.n_stacks):
-            kp = KPModule(cfg.hg_order, tuple(cfg.dims), tuple(cfg.modules),
-                          **kw)(inter, train)
+            kp = kp_cls(cfg.hg_order, tuple(cfg.dims), tuple(cfg.modules),
+                        name=f'KPModule_{ind}', **kw)(inter, train)
             cnv = ConvBN(cfg.cnv_dim, kernel=3, **kw)(kp, train)
             outs.append(cnv)
 

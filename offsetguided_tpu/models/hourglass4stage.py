@@ -85,9 +85,13 @@ class Hourglass4Stage(nn.Module):
         kw = dict(dtype=dtype, param_dtype=pdtype, bn_momentum=cfg.bn_momentum)
 
         x = DilatedStem(**kw)(image.astype(dtype), train)
+        # remat: see hourglass104.py — per-stack recompute, stable param names
+        hg_cls = (nn.remat(HourglassBlock, static_argnums=(2,)) if cfg.remat
+                  else HourglassBlock)
         outs = []
         for i in range(cfg.n_stacks):
-            hg = HourglassBlock(4, self.feat_dim, self.increase, **kw)(x, train)
+            hg = hg_cls(4, self.feat_dim, self.increase,
+                        name=f'HourglassBlock_{i}', **kw)(x, train)
             feat = ConvBN(self.feat_dim, kernel=3, leaky=0.01, **kw)(hg, train)
             feat = ConvBN(self.feat_dim, kernel=3, leaky=0.01, **kw)(feat, train)
             feat = SELayer(dtype=dtype, param_dtype=pdtype)(feat)

@@ -183,3 +183,43 @@ def test_folded_bn_eval_matches_unfolded():
     out_fold = res.apply(vr, x, train=False)
     assert out_fold.shape == (2, 8, 8, 12)
     assert np.all(np.isfinite(np.asarray(out_fold)))
+
+
+@pytest.mark.parametrize('basenet', ['hourglass104', 'hourglass4stage'])
+def test_remat_same_params_and_grads(basenet):
+    """cfg.remat recomputes stack activations in the backward: the param
+    tree layout must be IDENTICAL (checkpoints interchangeable) and the
+    gradients must match the stored-activation path."""
+    if basenet == 'hourglass104':
+        cfg = small_cfg()
+        cfg_r = small_cfg(remat=True)
+    else:
+        cfg = ModelConfig(basenet='hourglass4stage', n_stacks=2,
+                          compute_dtype='float32')
+        cfg_r = ModelConfig(basenet='hourglass4stage', n_stacks=2,
+                            compute_dtype='float32', remat=True)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3), jnp.float32)
+    _, v = create_model_state(jax.random.PRNGKey(0), cfg, (1, 64, 64, 3))
+    _, v_r = create_model_state(jax.random.PRNGKey(0), cfg_r, (1, 64, 64, 3))
+    paths = jax.tree_util.tree_structure(v)
+    assert paths == jax.tree_util.tree_structure(v_r)
+
+    def loss(variables, model_cfg):
+        model = PoseNet(model_cfg)
+        out, _ = model.apply(variables, x, train=True,
+                             mutable=['batch_stats'])
+        return sum(jnp.sum(m.astype(jnp.float32) ** 2)
+                   for maps in out.values() if maps is not None
+                   for m in maps if m is not None)
+
+    l1, g1 = jax.value_and_grad(loss)(v, cfg)
+    l2, g2 = jax.value_and_grad(loss)(v_r, cfg_r)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        # recompute reassociates float reductions; only noise-level drift
+        # (atol scaled to the leaf's magnitude: tiny elements of huge-norm
+        # gradient leaves carry proportionally large reassociation noise)
+        a, b = np.asarray(a), np.asarray(b)
+        atol = 1e-5 * max(1.0, float(np.abs(b).max()))
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=atol)
