@@ -288,9 +288,11 @@ def main(argv=None):
     def save_ckpt(epoch, train_loss):
         # multi-process: orbax requires EVERY process to enter save (it
         # coordinates via the jax.distributed barrier and writes from the
-        # primary host); gating to process 0 would deadlock
+        # primary host); gating to process 0 would deadlock.
+        # Non-blocking: the device->host copy happens here (safe under state
+        # donation), the disk write overlaps the next epoch; drained at exit.
         path = ckpt.save_checkpoint(args.checkpoint_dir, state, epoch,
-                                    train_loss)
+                                    train_loss, blocking=False)
         return path if jax.process_index() == 0 else None
 
     @jax.jit
@@ -345,6 +347,7 @@ def main(argv=None):
                 path = save_ckpt(epoch, meter.avg)
                 if path:
                     logger.info('max-steps reached, checkpoint %s', path)
+                ckpt.wait_for_saves()
                 return
             tput.tick(args.batch_size)
             if step % args.print_freq == 0:
@@ -362,6 +365,7 @@ def main(argv=None):
                 if path:
                     logger.info('epoch %d done, checkpoint %s', epoch, path)
                 meter.reset()
+    ckpt.wait_for_saves()
 
 
 if __name__ == '__main__':

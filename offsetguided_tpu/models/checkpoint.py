@@ -27,13 +27,23 @@ def _ckpt_path(ckpt_dir: str, epoch: int) -> str:
     return os.path.join(os.path.abspath(ckpt_dir), f'posenet_{epoch:03d}')
 
 
+_async_ckptr = None
+
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
-                    train_loss: float = float('inf')) -> str:
+                    train_loss: float = float('inf'), *,
+                    blocking: bool = True) -> str:
     """Save {params, batch_stats, opt_state, step} + metadata
-    (reference save_model, networks.py:126-144)."""
+    (reference save_model, networks.py:126-144).
+
+    With ``blocking=False`` the device->host copy still happens inside this
+    call (so the arrays may be donated/updated immediately after), but the
+    disk write runs on a background thread and overlaps training — call
+    `wait_for_saves()` before process exit. At most one save is in flight;
+    a second non-blocking save first drains the previous one.
+    """
     import orbax.checkpoint as ocp
     path = _ckpt_path(ckpt_dir, epoch)
-    ckptr = ocp.PyTreeCheckpointer()
     payload = {
         'params': state.params,
         'batch_stats': state.batch_stats,
@@ -41,8 +51,21 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
         'step': state.step,
         'meta': {'epoch': epoch, 'train_loss': train_loss},
     }
-    ckptr.save(path, payload, force=True)
+    if blocking:
+        ocp.PyTreeCheckpointer().save(path, payload, force=True)
+    else:
+        global _async_ckptr
+        if _async_ckptr is None:
+            _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        _async_ckptr.wait_until_finished()
+        _async_ckptr.save(path, payload, force=True)
     return path
+
+
+def wait_for_saves() -> None:
+    """Drain any in-flight non-blocking `save_checkpoint` write."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:

@@ -141,3 +141,34 @@ def test_freeze_mask():
     flat = C._flatten(mask)
     assert all(v is False for k, v in flat.items() if 'Hourglass104_0' in k)
     assert all(v is True for k, v in flat.items() if 'PoseHeads_0' in k)
+
+
+def test_async_save_roundtrip_with_donation(tmp_path):
+    """Non-blocking save: the device->host copy happens inside save(), so
+    donating/overwriting the state right after is safe; the background disk
+    write restores identically after wait_for_saves()."""
+    _, _, _, state = make_state()
+    snap = np.asarray(jax.tree_util.tree_leaves(state.params)[0]).copy()
+    path = C.save_checkpoint(str(tmp_path), state, epoch=7, train_loss=2.0,
+                             blocking=False)
+    # donate the saved-from buffers immediately (what a donated train step
+    # does — the old arrays are DELETED): the checkpoint must reflect the
+    # values captured at save() time
+    clobber = jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x * 0 - 1.0, p),
+        donate_argnums=0)
+    state = state._replace(params=clobber(state.params))
+    jax.block_until_ready(state.params)
+    C.wait_for_saves()
+    _, _, _, fresh = make_state()
+    state2, epoch, loss = C.load_checkpoint(path, fresh)
+    assert epoch == 7 and loss == 2.0
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state2.params)[0]), snap)
+    # a second in-flight save drains the first (at most one outstanding)
+    C.save_checkpoint(str(tmp_path), state, epoch=8, blocking=False)
+    C.wait_for_saves()
+    state3, epoch3, _ = C.load_checkpoint(C.latest_checkpoint(str(tmp_path)),
+                                          fresh)
+    assert epoch3 == 8
+    assert float(jax.tree_util.tree_leaves(state3.params)[0].max()) == -1.0
