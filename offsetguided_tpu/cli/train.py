@@ -335,37 +335,42 @@ def main(argv=None):
     tput = Throughput()
     step = 0
     epoch = start_epoch
-    with mesh:
-        for batch in batch_iterator(dataset, args.batch_size,
-                                    seed=args.seed,
-                                    epochs=args.epochs - start_epoch,
-                                    num_workers=args.loader_workers):
-            images, targets, mask = device_batch(batch)
-            state, metrics = train_step(state, images, targets, mask)
-            step += 1
-            if args.max_steps is not None and step >= args.max_steps:
-                path = save_ckpt(epoch, meter.avg)
-                if path:
-                    logger.info('max-steps reached, checkpoint %s', path)
-                ckpt.wait_for_saves()
-                return
-            tput.tick(args.batch_size)
-            if step % args.print_freq == 0:
-                m = {k: host_scalar(v) for k, v in metrics.items()}
-                meter.update(m['total'])
-                log_record(logger, 'train', type='train', epoch=epoch,
-                           step=step, loss=m['total'], head_losses=m,
-                           imgs_per_sec=round(tput.rate, 2))
-            if step % steps_per_epoch == 0:
-                epoch += 1
-                if val_dataset is not None:
-                    val_loss = run_validation(state, epoch)
-                    logger.info('epoch %d val loss %.4f', epoch, val_loss)
-                path = save_ckpt(epoch, meter.avg)
-                if path:
-                    logger.info('epoch %d done, checkpoint %s', epoch, path)
-                meter.reset()
-    ckpt.wait_for_saves()
+    # finally: drain the in-flight async checkpoint write on EVERY exit —
+    # clean end, max-steps return, exception, or KeyboardInterrupt — so a
+    # failed background write surfaces here instead of being lost
+    try:
+        with mesh:
+            for batch in batch_iterator(dataset, args.batch_size,
+                                        seed=args.seed,
+                                        epochs=args.epochs - start_epoch,
+                                        num_workers=args.loader_workers):
+                images, targets, mask = device_batch(batch)
+                state, metrics = train_step(state, images, targets, mask)
+                step += 1
+                if args.max_steps is not None and step >= args.max_steps:
+                    path = save_ckpt(epoch, meter.avg)
+                    if path:
+                        logger.info('max-steps reached, checkpoint %s', path)
+                    return
+                tput.tick(args.batch_size)
+                if step % args.print_freq == 0:
+                    m = {k: host_scalar(v) for k, v in metrics.items()}
+                    meter.update(m['total'])
+                    log_record(logger, 'train', type='train', epoch=epoch,
+                               step=step, loss=m['total'], head_losses=m,
+                               imgs_per_sec=round(tput.rate, 2))
+                if step % steps_per_epoch == 0:
+                    epoch += 1
+                    if val_dataset is not None:
+                        val_loss = run_validation(state, epoch)
+                        logger.info('epoch %d val loss %.4f', epoch, val_loss)
+                    path = save_ckpt(epoch, meter.avg)
+                    if path:
+                        logger.info('epoch %d done, checkpoint %s', epoch,
+                                    path)
+                    meter.reset()
+    finally:
+        ckpt.wait_for_saves()
 
 
 if __name__ == '__main__':

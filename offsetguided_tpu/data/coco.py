@@ -43,7 +43,7 @@ def rle_decode_counts(s: str) -> List[int]:
 def rle_to_mask(rle: Dict) -> np.ndarray:
     """COCO RLE dict {'size': [h, w], 'counts': str|list} -> uint8 mask.
 
-    Uses the native C++ codec (native/rle.cpp) when available; falls back to
+    Uses the native C++ codec (offsetguided_tpu/native/rle.cpp) when available; falls back to
     the pure-Python path."""
     h, w = rle['size']
     counts = rle['counts']

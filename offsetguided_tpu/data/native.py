@@ -1,7 +1,10 @@
-"""ctypes bindings for the native mask utilities (native/rle.cpp).
+"""ctypes bindings for the native mask utilities
+(offsetguided_tpu/native/rle.cpp — shipped as package source).
 
-Auto-builds `librle.so` with g++ on first use; transparently falls back to
-the pure-Python implementation in data/coco.py when no toolchain exists.
+Auto-builds `librle.so` with g++ on first use, next to the source when that
+directory is writable (source checkout) or in a per-user cache dir otherwise
+(installed package in a read-only site-packages); transparently falls back
+to the pure-Python implementation in data/coco.py when no toolchain exists.
 """
 from __future__ import annotations
 
@@ -13,12 +16,23 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), 'native')
-_LIB_PATH = os.path.join(_NATIVE_DIR, 'librle.so')
+_NATIVE_DIR = os.path.join(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))), 'native')
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+
+
+def _lib_path() -> str:
+    """Where librle.so lives (or should be built)."""
+    here = os.path.join(_NATIVE_DIR, 'librle.so')
+    if os.path.exists(here) or os.access(_NATIVE_DIR, os.W_OK):
+        return here
+    cache = os.path.join(
+        os.environ.get('XDG_CACHE_HOME',
+                       os.path.join(os.path.expanduser('~'), '.cache')),
+        'offsetguided_tpu')
+    return os.path.join(cache, 'librle.so')
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -27,18 +41,20 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
             src = os.path.join(_NATIVE_DIR, 'rle.cpp')
             if not os.path.exists(src):
                 return None
             try:
+                os.makedirs(os.path.dirname(lib_path), exist_ok=True)
                 subprocess.run(
-                    ['g++', '-O3', '-shared', '-fPIC', '-o', _LIB_PATH, src],
+                    ['g++', '-O3', '-shared', '-fPIC', '-o', lib_path, src],
                     check=True, capture_output=True, timeout=120)
             except Exception:
                 return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             return None
         lib.rle_string_to_mask.restype = ctypes.c_int

@@ -92,5 +92,5 @@ def test_laplace_offset_loss(rng):
 
 def test_native_build_script_exists():
     import os
-    assert os.path.exists('native/rle.cpp')
-    assert os.path.exists('native/build.sh')
+    assert os.path.exists('offsetguided_tpu/native/rle.cpp')
+    assert os.path.exists('offsetguided_tpu/native/build.sh')

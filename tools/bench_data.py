@@ -9,5 +9,5 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from offsetguided_tpu.cli.bench_data import *  # noqa: F401,F403
 from offsetguided_tpu.cli.bench_data import main  # noqa: F401
 
-if __name__ == '__main__':
-    main()
+if __name__ == "__main__":
+    sys.exit(main())
