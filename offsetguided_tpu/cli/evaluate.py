@@ -80,6 +80,9 @@ def cli(argv=None):
 
 def main(argv=None):
     args = cli(argv)
+    from offsetguided_tpu.utils.cache import (
+        enable_persistent_cache_if_accelerated)
+    enable_persistent_cache_if_accelerated()
     from offsetguided_tpu.config.defaults import (DecoderConfig, EvalConfig,
                                                   ModelConfig, SkeletonConfig)
     from offsetguided_tpu.decoder import PostProcessor

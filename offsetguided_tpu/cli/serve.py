@@ -49,6 +49,8 @@ def cli(argv=None):
                    choices=['bicubic', 'bilinear'])
     p.add_argument('--host', default='127.0.0.1')
     p.add_argument('--port', type=int, default=8080)
+    p.add_argument('--request-timeout-s', type=float, default=60.0,
+                   help='max seconds a request waits for its micro-batch')
     p.add_argument('--debug-tiny-model', action='store_true',
                    help='narrow random-weight backbone (CI / smoke use)')
     return p.parse_args(argv)
@@ -231,7 +233,8 @@ def make_server(args, infer, skeleton, eval_cfg):
                 img, np.zeros((0, n_kp, 4), np.float32), eval_cfg, n_kp,
                 normalize=False)      # uint8 wire format; device normalizes
             try:
-                poses = batcher.submit(fimg, meta)
+                poses = batcher.submit(fimg, meta,
+                                       timeout=args.request_timeout_s)
             except Exception as e:
                 self._json(500, {'error': f'{type(e).__name__}: {e}'})
                 return
@@ -245,7 +248,10 @@ def make_server(args, infer, skeleton, eval_cfg):
 
 def main(argv=None):
     import jax.numpy as jnp
+    from offsetguided_tpu.utils.cache import (
+        enable_persistent_cache_if_accelerated)
     args = cli(argv)
+    enable_persistent_cache_if_accelerated()   # TPU: startup compile cached
     infer, skeleton, eval_cfg = build_infer(args)
     s = eval_cfg.long_edge
     print(f'compiling ({eval_cfg.batch_size}, {s}, {s}) program...',

@@ -36,6 +36,9 @@ def cli():
 
 def main():
     args = cli()
+    from offsetguided_tpu.utils.cache import (
+        enable_persistent_cache_if_accelerated)
+    enable_persistent_cache_if_accelerated()
     from offsetguided_tpu.config.defaults import (DecoderConfig, EncoderConfig,
                                                   EvalConfig, SkeletonConfig)
     from offsetguided_tpu.data import transforms as T

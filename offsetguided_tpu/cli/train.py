@@ -145,6 +145,10 @@ def main(argv=None):
                 process_id=args.process_id)
         else:
             jax.distributed.initialize()
+    # after distributed init: probing the backend initializes it
+    from offsetguided_tpu.utils.cache import (
+        enable_persistent_cache_if_accelerated)
+    enable_persistent_cache_if_accelerated()
 
     from offsetguided_tpu.config.defaults import (AugmentationConfig,
                                                   EncoderConfig, HeadsConfig,

@@ -48,3 +48,18 @@ def enable_persistent_cache(base: str, min_compile_secs: float = 1.0) -> str:
     jax.config.update('jax_persistent_cache_min_compile_time_secs',
                       min_compile_secs)
     return path
+
+
+def enable_persistent_cache_if_accelerated(
+        base: str = '/tmp/jax_og_cache', min_compile_secs: float = 1.0) -> str:
+    """Enable the cache only on accelerator backends.
+
+    TPU executables (de)serialize fine and tunnel compiles cost minutes, so
+    caching is a large win there; CPU AOT (de)serialization is broken on
+    some hosts (SIGABRT writing large decode executables, SIGILL loading
+    them — see tests/conftest.py), so CPU runs eat the recompiles instead.
+    """
+    import jax
+    if jax.default_backend() == 'cpu':
+        return ''
+    return enable_persistent_cache(base, min_compile_secs)

@@ -22,8 +22,12 @@ from offsetguided_tpu.cli import serve
 def server_url():
     args = serve.cli(['--debug-tiny-model', '--long-edge', '128',
                       '--batch-size', '2', '--batch-window-ms', '30',
-                      '--port', '0'])
+                      '--port', '0', '--request-timeout-s', '300'])
     infer, skeleton, eval_cfg = serve.build_infer(args)
+    # warm-compile before serving, as main() does (a loaded 1-core CI host
+    # can take >60s to compile; requests must never eat that)
+    import jax.numpy as jnp
+    np.asarray(infer(jnp.zeros((2, 128, 128, 3), jnp.uint8))[2])
     srv = serve.make_server(args, infer, skeleton, eval_cfg)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
