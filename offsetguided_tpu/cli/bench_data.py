@@ -26,6 +26,11 @@ def main():
     p.add_argument('--n-batches', type=int, default=20)
     p.add_argument('--num-workers', type=int, default=0,
                    help='augmentation worker processes (0 = thread)')
+    p.add_argument('--device-aug', action='store_true',
+                   help='measure the device-aug host path (JPEG decode + '
+                        'mask render + parameter sampling only; warp runs '
+                        'on device, ops/augment.py)')
+    p.add_argument('--raw-canvas', type=int, default=640)
     args = p.parse_args()
 
     from offsetguided_tpu.config import COCO_PERSON_SKELETON
@@ -41,9 +46,26 @@ def main():
                        skeleton=skeleton,
                        aug=AugmentationConfig(
                            square_length=args.square_length),
-                       square_length=args.square_length)
+                       square_length=args.square_length,
+                       device_aug=args.device_aug,
+                       raw_canvas=args.raw_canvas)
     out_hw = args.square_length // enc.stride
     sigmas = np.asarray(skeleton.sigmas)
+
+    if args.device_aug:
+        from offsetguided_tpu.ops.augment import augment_batch
+
+        @jax.jit
+        def aug_encode(b):
+            imgs, mask01, anns2 = augment_batch(
+                b['image'], b['mask_miss'], b['anns'], b['aug_mat'],
+                b['aug_mat_inv'], b['aug_scale_xy'],
+                b['aug_flags'][:, 0] > 0.5, b['aug_flags'][:, 1] > 0.5,
+                b['aug_tint'], b['valid_hw'], args.square_length,
+                ds.left_index, ds.right_index)
+            t = encode_targets(anns2, sigmas, COCO_PERSON_SKELETON,
+                               out_hw, out_hw, enc)
+            return t, downscale_mask(mask01, enc)
 
     @jax.jit
     def encode(anns, mask):
@@ -58,8 +80,13 @@ def main():
     for i, batch in enumerate(batch_iterator(ds, args.batch_size, epochs=None,
                                              num_workers=args.num_workers)):
         t_host += time.perf_counter() - last
-        targets, mask = encode(jnp.asarray(batch['anns']),
-                               jnp.asarray(batch['mask_miss']))
+        if args.device_aug:
+            dev = {k: jnp.asarray(v) for k, v in batch.items()
+                   if k not in ('metas', 'epoch')}
+            targets, mask = aug_encode(dev)
+        else:
+            targets, mask = encode(jnp.asarray(batch['anns']),
+                                   jnp.asarray(batch['mask_miss']))
         n += args.batch_size
         if i + 1 >= args.n_batches:
             jax.block_until_ready(targets.hmp)

@@ -29,6 +29,15 @@ def cli(argv=None):
     g.add_argument('--square-length', type=int, default=512)
     g.add_argument('--max-persons', type=int, default=32)
     g.add_argument('--n-images', type=int, default=None)
+    g.add_argument('--device-aug', action='store_true',
+                   help='run warp-affine + photometric augmentation inside '
+                        'the jitted train program (ops/augment.py): the '
+                        'host keeps only JPEG decode, mask render, and '
+                        'parameter sampling — removes the host cv2 aug '
+                        'bottleneck on TPU hosts')
+    g.add_argument('--raw-canvas', type=int, default=640,
+                   help='device-aug: fixed raw-image canvas side (largest '
+                        'source image side; COCO is 640)')
 
     g = p.add_argument_group('augmentation',
                              description='warp-affine/photometric bounds '
@@ -215,7 +224,8 @@ def main(argv=None):
         args.train_image_dir, args.train_annotations, skeleton=skeleton,
         aug=aug_cfg,
         square_length=args.square_length, max_persons=args.max_persons,
-        n_images=args.n_images)
+        n_images=args.n_images, device_aug=args.device_aug,
+        raw_canvas=args.raw_canvas)
     steps_per_epoch = max(len(dataset) // args.batch_size, 1)
     logger.info('dataset: %d images, %d steps/epoch, %d devices',
                 len(dataset), steps_per_epoch, n_dev)
@@ -307,7 +317,27 @@ def main(argv=None):
                                  out_hw, out_hw, enc_cfg)
         return targets, downscale_mask(mask_in, enc_cfg)
 
+    @jax.jit
+    def _aug_encode(raw_imgs, raw_masks, anns, mat, mat_inv, scale_xy,
+                    flags, tint, valid_hw):
+        # device augmentation (ops/augment.py) + GT encoding, one program
+        from offsetguided_tpu.ops.augment import augment_batch
+        imgs, mask01, anns2 = augment_batch(
+            raw_imgs, raw_masks, anns, mat, mat_inv, scale_xy,
+            flags[:, 0] > 0.5, flags[:, 1] > 0.5, tint, valid_hw,
+            args.square_length, dataset.left_index, dataset.right_index)
+        targets = encode_targets(anns2, sigmas, skeleton.skeleton,
+                                 out_hw, out_hw, enc_cfg)
+        return imgs, targets, downscale_mask(mask01, enc_cfg)
+
     def device_batch(batch):
+        if 'aug_mat' in batch:                # device-aug raw batch
+            return _aug_encode(
+                put(batch['image']), put(batch['mask_miss']),
+                put(batch['anns']), put(batch['aug_mat']),
+                put(batch['aug_mat_inv']), put(batch['aug_scale_xy']),
+                put(batch['aug_flags']), put(batch['aug_tint']),
+                put(batch['valid_hw']))
         images = put(batch['image'])          # uint8; normalized in-step
         anns = put(batch['anns'])
         mask_in = put(batch['mask_miss'])

@@ -35,13 +35,23 @@ class CocoKeypoints:
                  skeleton: SkeletonConfig = SkeletonConfig(),
                  aug: Optional[AugmentationConfig] = AugmentationConfig(),
                  square_length: int = 512, max_persons: int = 32,
-                 n_images: Optional[int] = None, all_persons: bool = False):
+                 n_images: Optional[int] = None, all_persons: bool = False,
+                 device_aug: bool = False, raw_canvas: int = 640):
         self.coco = CocoJson(ann_file)
         self.image_dir = image_dir
         self.skeleton = skeleton
         self.aug = aug
         self.square = square_length
         self.max_persons = max_persons
+        # device_aug: the host keeps JPEG decode + RLE mask render +
+        # RANDOMNESS (params/matrices sampled here, so batch contents stay
+        # worker-count invariant) and ships the RAW image on a fixed
+        # (raw_canvas, raw_canvas) canvas; the warp + photometric pixel work
+        # runs inside the training step's jitted program (ops/augment.py)
+        self.device_aug = device_aug
+        self.raw_canvas = raw_canvas
+        if device_aug and aug is None:
+            raise ValueError('device_aug requires an AugmentationConfig')
         self.left_index = [i for i, n in enumerate(skeleton.keypoints)
                            if n.startswith('left')]
         self.right_index = [i for i, n in enumerate(skeleton.keypoints)
@@ -61,6 +71,72 @@ class CocoKeypoints:
         out[:p] = anns[:p]
         return out
 
+    def sample_spec(self) -> Dict:
+        """Per-sample array layout: key -> (shape, dtype). Drives generic
+        batch stacking and the shared-memory transport (_ShmSlots)."""
+        J = self.skeleton.n_keypoints
+        S = self.raw_canvas if self.device_aug else self.square
+        spec = {
+            'image': ((S, S, 3), np.uint8),
+            'mask_miss': ((S, S), np.uint8),
+            'anns': ((self.max_persons, J, 4), np.float32),
+        }
+        if self.device_aug:
+            spec.update({
+                'aug_mat': ((3, 3), np.float32),       # src->dst forward
+                'aug_mat_inv': ((2, 3), np.float32),   # dst->src (sampling)
+                'aug_scale_xy': ((2,), np.float32),
+                'aug_flags': ((2,), np.float32),       # [flip, gray]
+                'aug_tint': ((4,), np.float32),        # [on, dh, ds, dv]
+                'valid_hw': ((2,), np.int32),
+            })
+        return spec
+
+    def _get_device_aug(self, image, anns, meta, mask_miss,
+                        rng: np.random.RandomState) -> Dict:
+        """Raw sample + host-sampled aug parameters (pixel work on device)."""
+        aug = self.aug
+        if rng.rand() < aug.annotation_jitter_prob:
+            anns = T.annotation_jitter(anns, rng)
+        params = T.sample_affine_params(aug, rng)
+        gray = rng.rand() < aug.gray_prob
+        if rng.rand() < aug.color_tint_prob:     # same draws as T.color_tint
+            tint = np.array([1.0, rng.randint(-10, 11), rng.randint(-40, 41),
+                             rng.randint(-30, 31)], np.float32)
+        else:
+            tint = np.zeros(4, np.float32)
+
+        C0 = self.raw_canvas
+        h, w = image.shape[:2]
+        if max(h, w) > C0:                       # rare: source exceeds canvas
+            image, anns, meta = T.rescale_long_absolute(image, anns, meta, C0)
+            mask_miss = cv2.resize(mask_miss, (image.shape[1],
+                                               image.shape[0]),
+                                   interpolation=cv2.INTER_NEAREST)
+            h, w = image.shape[:2]
+
+        roi_center = T._roi_center(anns, meta)
+        mat, sx, sy = T.build_affine_mat(params, roi_center,
+                                         meta['width_height'],
+                                         [self.square, self.square])
+        raw = np.zeros((C0, C0, 3), np.uint8)
+        raw[:h, :w] = image
+        raw_mask = np.full((C0, C0), 255, np.uint8)
+        raw_mask[:h, :w] = mask_miss
+
+        return {
+            'image': raw,
+            'mask_miss': raw_mask,
+            'anns': self._pad_persons(anns),
+            'aug_mat': mat.astype(np.float32),
+            'aug_mat_inv': np.linalg.inv(mat)[:2].astype(np.float32),
+            'aug_scale_xy': np.array([sx, sy], np.float32),
+            'aug_flags': np.array([params['flip'], gray], np.float32),
+            'aug_tint': tint,
+            'valid_hw': np.array([h, w], np.int32),
+            'meta': meta,
+        }
+
     def get(self, index: int, rng: np.random.RandomState) -> Dict:
         img_id = self.ids[index]
         info = self.coco.image_info(img_id)
@@ -77,6 +153,9 @@ class CocoKeypoints:
         meta = T.make_meta(info['width'], info['height'],
                            self.skeleton.n_keypoints)
         meta['image_id'] = img_id
+
+        if self.device_aug:
+            return self._get_device_aug(image, anns, meta, mask_miss, rng)
 
         if self.aug is not None:
             if rng.rand() < self.aug.annotation_jitter_prob:
@@ -136,13 +215,10 @@ def _batch_rng(seed: int, epoch: int, batch_index: int) -> np.random.RandomState
 
 def _make_batch(dataset: CocoKeypoints, idx, rng, epoch: int) -> Dict:
     samples = [dataset.get(int(i), rng) for i in idx]
-    return {
-        'image': np.stack([s['image'] for s in samples]),
-        'anns': np.stack([s['anns'] for s in samples]),
-        'mask_miss': np.stack([s['mask_miss'] for s in samples]),
-        'metas': [s['meta'] for s in samples],
-        'epoch': epoch,
-    }
+    keys = dataset.sample_spec().keys()
+    batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+    batch.update(metas=[s['meta'] for s in samples], epoch=epoch)
+    return batch
 
 
 def _batch_plan(dataset, batch_size, seed, shuffle, drop_last, epochs):
@@ -168,20 +244,18 @@ class _ShmSlots:
 
     Queue-pickled batches cost serialize + pipe-chunk + deserialize per batch
     (~13 MB at 512^2/batch-16 even with uint8 images); a shared-memory slot is
-    written once by the worker and memcpy'd once by the parent. Layout per
-    slot: image (B,S,S,3) u8 | mask (B,S,S) u8 | anns (B,P,J,4) f32.
+    written once by the worker and memcpy'd once by the parent. The layout
+    comes from the dataset's `sample_spec()` (image | mask | anns, plus the
+    per-sample aug-parameter arrays in device_aug mode).
     """
 
-    def __init__(self, batch_size, square, max_persons, n_keypoints, n_slots):
-        self.shapes = {
-            'image': (batch_size, square, square, 3),
-            'mask_miss': (batch_size, square, square),
-            'anns': (batch_size, max_persons, n_keypoints, 4),
-        }
-        self.dtypes = {'image': np.uint8, 'mask_miss': np.uint8,
-                       'anns': np.float32}
+    def __init__(self, batch_size, sample_spec: Dict, n_slots):
+        self.keys = list(sample_spec.keys())
+        self.shapes = {k: (batch_size,) + tuple(shape)
+                       for k, (shape, _) in sample_spec.items()}
+        self.dtypes = {k: dt for k, (_, dt) in sample_spec.items()}
         self.offsets, off = {}, 0
-        for k in ('image', 'mask_miss', 'anns'):
+        for k in self.keys:
             self.offsets[k] = off
             off += int(np.prod(self.shapes[k])) * np.dtype(self.dtypes[k]).itemsize
         self.nbytes = off
@@ -222,7 +296,7 @@ class _ShmSlots:
         buf = self._segs[slot].buf
         return {k: np.ndarray(self.shapes[k], self.dtypes[k], buffer=buf,
                               offset=self.offsets[k])
-                for k in self.shapes}
+                for k in self.keys}
 
     def close(self, unlink):
         for seg in self._segs or []:
@@ -251,7 +325,7 @@ def _worker_loop(dataset, seed, task_q, result_q, slots: _ShmSlots,
                                     _batch_rng(seed, epoch, gb), epoch)
                 v = slots.views(slot)
                 n = batch['image'].shape[0]
-                for k in ('image', 'mask_miss', 'anns'):
+                for k in slots.keys:
                     v[k][:n] = batch[k]
                 result_q.put((gb, slot, n, batch['metas'], epoch, None))
             except Exception as e:      # surface in the parent, don't hang
@@ -270,8 +344,8 @@ def _mp_batch_iterator(dataset, batch_size, seed, shuffle, drop_last,
     import multiprocessing as mp
     ctx = mp.get_context('spawn')       # never fork a jax-initialized parent
     max_in_flight = num_workers + max(prefetch, 1)
-    slots = _ShmSlots(batch_size, dataset.square, dataset.max_persons,
-                      dataset.skeleton.n_keypoints, n_slots=max_in_flight)
+    slots = _ShmSlots(batch_size, dataset.sample_spec(),
+                      n_slots=max_in_flight)
     shm_names = slots.create()
     task_q = ctx.Queue()
     result_q = ctx.Queue()
@@ -318,8 +392,7 @@ def _mp_batch_iterator(dataset, batch_size, seed, shuffle, drop_last,
             if err is not None:
                 raise RuntimeError(f'data worker failed on batch {gb}: {err}')
             v = slots.views(slot)
-            pending[gb] = {k: v[k][:n].copy()
-                           for k in ('image', 'anns', 'mask_miss')}
+            pending[gb] = {k: v[k][:n].copy() for k in slots.keys}
             pending[gb].update(metas=metas, epoch=epoch)
             free_slots.append(slot)
             while next_emit in pending:

@@ -1,0 +1,223 @@
+"""Device-side training augmentation: batched affine warp + photometric.
+
+The reference augments on the host in DataLoader workers
+(transforms/affine.py:107-278 via cv2.warpAffine, transforms/image.py) — on
+a TPU host that serializes JPEG-rate work onto a few cores and starves the
+chips. Here the host keeps only what it must (JPEG decode, RLE mask render,
+RANDOMNESS — all parameters are sampled host-side so batch contents stay
+identical for any loader-worker count) and the pixel work moves into the
+training step's jitted program:
+
+- `affine_sample`: batched 16-tap bicubic (A=-0.75, cv2 INTER_CUBIC's
+  kernel) warp with cv2 BORDER_CONSTANT semantics; per-sample valid (h, w)
+  bounds so the fixed-shape raw canvas's padding never leaks into borders.
+- `transform_annotations`: the same 3x3 matrix applied to keypoints, with
+  per-sample L/R channel swap under flip and off-canvas invalidation —
+  bit-identical math to the host path (data/transforms.py:241-263).
+- `photometric`: cv2-weight grayscale and HSV tint, with all random shifts
+  sampled on the host and shipped as per-sample scalars.
+
+Pixel parity with cv2 is within quantization (cv2 interpolates in fixed
+point; we compute in f32 and saturate-round to uint8) — geometric parity of
+annotations is exact, which is what GT encoding consumes.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic_w(d: jax.Array) -> jax.Array:
+    """jnp cubic convolution weights, a=-0.75 (ops/resize.py:25-33)."""
+    a = -0.75
+    d = jnp.abs(d)
+    return jnp.where(
+        d <= 1.0,
+        (a + 2.0) * d ** 3 - (a + 3.0) * d ** 2 + 1.0,
+        jnp.where(d < 2.0,
+                  a * d ** 3 - 5.0 * a * d ** 2 + 8.0 * a * d - 4.0 * a,
+                  0.0))
+
+
+def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
+                  out_hw: Tuple[int, int], border_value,
+                  valid_hw: jax.Array | None = None) -> jax.Array:
+    """Batched bicubic affine sampling (cv2.warpAffine INTER_CUBIC +
+    BORDER_CONSTANT equivalent).
+
+    images: (N, H, W, C) uint8 or float; mats_dst2src: (N, 2, 3) mapping
+    OUTPUT pixel coords to source coords (cv2 warps with the inverse of the
+    forward matrix; invert on the host). border_value: scalar or (C,).
+    valid_hw: (N, 2) int — actual (h, w) of each sample inside the fixed
+    canvas; taps outside it read the border constant, so right/down padding
+    in the raw canvas is invisible.
+    """
+    n, h, w, c = images.shape
+    oh, ow = out_hw
+    if valid_hw is None:
+        valid_hw = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (n, 1))
+    vh = valid_hw[:, 0].astype(jnp.float32)[:, None, None]
+    vw = valid_hw[:, 1].astype(jnp.float32)[:, None, None]
+
+    ys, xs = jnp.mgrid[0:oh, 0:ow]
+    xs = xs.astype(jnp.float32)[None]
+    ys = ys.astype(jnp.float32)[None]
+    m = mats_dst2src.astype(jnp.float32)
+    sx = (m[:, 0, 0, None, None] * xs + m[:, 0, 1, None, None] * ys
+          + m[:, 0, 2, None, None])
+    sy = (m[:, 1, 0, None, None] * xs + m[:, 1, 1, None, None] * ys
+          + m[:, 1, 2, None, None])
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    border = jnp.broadcast_to(
+        jnp.asarray(border_value, jnp.float32).reshape(1, 1, 1, -1),
+        (1, 1, 1, c))
+    flat = images.reshape(n, h * w, c).astype(jnp.float32)
+
+    out = jnp.zeros((n, oh, ow, c), jnp.float32)
+    for dy in range(-1, 3):
+        wy = _cubic_w(fy - dy)
+        ty = y0 + dy
+        for dx in range(-1, 3):
+            wgt = (wy * _cubic_w(fx - dx))[..., None]
+            tx = x0 + dx
+            inb = ((tx >= 0) & (tx < vw) & (ty >= 0) & (ty < vh))[..., None]
+            ix = jnp.clip(tx, 0, w - 1).astype(jnp.int32)
+            iy = jnp.clip(ty, 0, h - 1).astype(jnp.int32)
+            idx = (iy * w + ix).reshape(n, oh * ow, 1)
+            val = jnp.take_along_axis(flat, idx, axis=1).reshape(n, oh, ow, c)
+            out = out + wgt * jnp.where(inb, val, border)
+    return out
+
+
+def transform_annotations(anns: jax.Array, mats: jax.Array,
+                          scale_xy: jax.Array, flips: jax.Array,
+                          left_index: Sequence[int],
+                          right_index: Sequence[int],
+                          out_size: int) -> jax.Array:
+    """Forward affine on keypoints, exactly the host path
+    (data/transforms.py:241-263): xy' = M @ [x, y, 1], per-keypoint scale
+    *= sqrt(sx*sy), L/R channel swap under flip, off-canvas invalidation.
+
+    anns: (N, P, J, 4) [x, y, v, scale]; mats: (N, 3, 3) forward (src->dst);
+    scale_xy: (N, 2); flips: (N,) bool.
+    """
+    m = mats.astype(jnp.float32)
+    x = anns[..., 0]
+    y = anns[..., 1]
+    nx = (m[:, 0, 0, None, None] * x + m[:, 0, 1, None, None] * y
+          + m[:, 0, 2, None, None])
+    ny = (m[:, 1, 0, None, None] * x + m[:, 1, 1, None, None] * y
+          + m[:, 1, 2, None, None])
+    ks = anns[..., 3] * jnp.sqrt(scale_xy[:, 0] * scale_xy[:, 1])[:, None, None]
+    out = jnp.stack([nx, ny, anns[..., 2], ks], axis=-1)
+
+    j = out.shape[2]
+    perm = np.arange(j)
+    perm[list(left_index)] = list(right_index)
+    perm[list(right_index)] = list(left_index)
+    swapped = out[:, :, perm, :]
+    out = jnp.where(flips[:, None, None, None], swapped, out)
+
+    off = ((out[..., 0] <= 0) | (out[..., 1] <= 0)
+           | (out[..., 0] > out_size) | (out[..., 1] > out_size))
+    out = out.at[..., 2].set(jnp.where(off, 0.0, out[..., 2]))
+    # person rows that are all-zero are PADDING (the host pads after the
+    # warp, so padded rows must stay zero, not be pushed through the matrix)
+    padding = jnp.all(anns == 0, axis=(2, 3))
+    return jnp.where(padding[:, :, None, None], 0.0, out)
+
+
+def _rgb_to_hsv(rgb: jax.Array) -> jax.Array:
+    """float RGB [0,255] -> (H in [0,360), S in [0,1], V in [0,255])."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    mx = jnp.maximum(jnp.maximum(r, g), b)
+    mn = jnp.minimum(jnp.minimum(r, g), b)
+    d = mx - mn
+    safe = jnp.where(d == 0, 1.0, d)
+    h = jnp.where(
+        mx == r, (g - b) / safe,
+        jnp.where(mx == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe))
+    h = jnp.where(d == 0, 0.0, h * 60.0) % 360.0
+    s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
+    return jnp.stack([h, s, mx], axis=-1)
+
+
+def _hsv_to_rgb(hsv: jax.Array) -> jax.Array:
+    h, s, v = hsv[..., 0], hsv[..., 1], hsv[..., 2]
+    hh = (h % 360.0) / 60.0
+    i = jnp.floor(hh)
+    f = hh - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(jnp.int32) % 6
+    r = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [v, q, p, p, t, v])
+    g = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [t, v, v, q, p, p])
+    b = jnp.select([i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
+                   [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def photometric(images: jax.Array, grays: jax.Array,
+                tints: jax.Array) -> jax.Array:
+    """Grayscale + HSV tint, matching the host order (data/pipeline.py):
+    gray first, then tint. images: (N, H, W, 3) float [0,255];
+    grays: (N,) bool; tints: (N, 4) float — [apply(0/1), dh_degrees,
+    ds (cv2 S units, /255), dv] sampled on the host
+    (data/transforms.py:282-288 draws dh in half-degrees*2=degrees... cv2's
+    H channel is degrees/2, so its randint(-10,11) shift is ±20 DEGREES;
+    ds/dv are cv2 uint8 channel shifts).
+    """
+    y = (0.299 * images[..., 0] + 0.587 * images[..., 1]
+         + 0.114 * images[..., 2])
+    gray_img = jnp.repeat(y[..., None], 3, axis=-1)
+    images = jnp.where(grays[:, None, None, None], gray_img, images)
+
+    hsv = _rgb_to_hsv(images)
+    h = (hsv[..., 0] + tints[:, 1, None, None] * 2.0) % 360.0
+    s = jnp.clip(hsv[..., 1] + tints[:, 2, None, None] / 255.0, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] + tints[:, 3, None, None], 0.0, 255.0)
+    tinted = _hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+    apply = tints[:, 0, None, None, None] > 0.5
+    return jnp.where(apply, tinted, images)
+
+
+def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
+                  anns: jax.Array, mats: jax.Array, mats_inv: jax.Array,
+                  scale_xy: jax.Array, flips: jax.Array, grays: jax.Array,
+                  tints: jax.Array, valid_hw: jax.Array, out_size: int,
+                  left_index: Sequence[int], right_index: Sequence[int]
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full device augmentation: warp + photometric + annotation transform.
+
+    raw_images: (N, C0, C0, 3) uint8 raw canvas (top-left anchored);
+    raw_masks: (N, C0, C0) uint8 0/255 mask_miss at source resolution.
+    Returns (images (N, S, S, 3) uint8, mask (N, S, S) float [0,1],
+    anns (N, P, J, 4)) — the same contract the host pipeline ships, so the
+    GT encoder and train step are unchanged downstream.
+    """
+    from ..data.transforms import PAD_RGB
+
+    imgs = affine_sample(raw_images, mats_inv, (out_size, out_size),
+                         jnp.asarray(PAD_RGB, jnp.float32), valid_hw)
+    imgs = photometric(imgs, grays, tints)
+    # cv2 saturates + rounds to uint8 at every stage; one final quantization
+    imgs = jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.uint8)
+
+    mask = affine_sample(raw_masks[..., None].astype(jnp.float32),
+                         mats_inv, (out_size, out_size), 255.0, valid_hw)
+    mask = jnp.clip(mask[..., 0] / 255.0, 0.0, 1.0)
+
+    anns = transform_annotations(anns, mats, scale_xy, flips,
+                                 left_index, right_index, out_size)
+    return imgs, mask, anns

@@ -1,0 +1,166 @@
+"""Device-side augmentation (ops/augment.py) vs the host cv2 pipeline.
+
+Geometric parity must be tight (annotations drive GT encoding); pixel parity
+vs cv2 is within interpolation quantization (cv2 computes INTER_CUBIC in
+fixed point, the device in f32). Parameter sampling parity is exact: both
+modes draw from the same host RNG stream in the same order.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from offsetguided_tpu.config.defaults import AugmentationConfig, SkeletonConfig
+from offsetguided_tpu.data import transforms as T
+from offsetguided_tpu.ops.augment import (affine_sample, augment_batch,
+                                          photometric,
+                                          transform_annotations)
+
+import cv2
+
+
+def _rand_mat(rng, src_hw=(80, 100), dst=64):
+    params = T.sample_affine_params(AugmentationConfig(), rng)
+    anns = np.zeros((1, 17, 4), np.float32)
+    anns[0, :, 0] = rng.rand(17) * src_hw[1]
+    anns[0, :, 1] = rng.rand(17) * src_hw[0]
+    anns[0, :, 2] = 2.0
+    meta = T.make_meta(src_hw[1], src_hw[0], 17)
+    roi = T._roi_center(anns, meta)
+    mat, sx, sy = T.build_affine_mat(params, roi, meta['width_height'],
+                                     [dst, dst])
+    return params, mat, sx, sy, anns, meta
+
+
+def test_affine_sample_matches_cv2(rng):
+    h, w, dst = 80, 100, 64
+    image = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+    for _ in range(3):
+        _, mat, _, _, _, _ = _rand_mat(rng, (h, w), dst)
+        want = cv2.warpAffine(image, mat[:2].astype(np.float64), (dst, dst),
+                              flags=cv2.INTER_CUBIC,
+                              borderMode=cv2.BORDER_CONSTANT,
+                              borderValue=T.PAD_RGB)
+        got = affine_sample(jnp.asarray(image[None]),
+                            jnp.asarray(np.linalg.inv(mat)[:2], jnp.float32)[None],
+                            (dst, dst), jnp.asarray(T.PAD_RGB, jnp.float32))
+        got = np.clip(np.round(np.asarray(got[0])), 0, 255).astype(np.uint8)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        # cv2 fixed-point vs f32: the bulk must agree to the LSB; allow a
+        # small tail of near-boundary / steep-gradient pixels
+        assert np.mean(diff <= 1) > 0.97, np.mean(diff <= 1)
+        assert np.mean(diff) < 1.0, np.mean(diff)
+
+
+def test_transform_annotations_matches_host(rng):
+    h, w, dst = 80, 100, 64
+    sk = SkeletonConfig()
+    left = [i for i, n in enumerate(sk.keypoints) if n.startswith('left')]
+    right = [i for i, n in enumerate(sk.keypoints) if n.startswith('right')]
+    for flip in (False, True):
+        params, mat, sx, sy, anns, meta = _rand_mat(rng, (h, w), dst)
+        params['flip'] = flip
+        mat, sx, sy = T.build_affine_mat(params, T._roi_center(anns, meta),
+                                         meta['width_height'], [dst, dst])
+        img = np.zeros((h, w, 3), np.uint8)
+        _, host_anns, _, _ = T.warp_affine(img, anns.copy(), dict(meta), None,
+                                           params, dst, left, right)
+        dev = transform_annotations(
+            jnp.asarray(anns[None]), jnp.asarray(mat, jnp.float32)[None],
+            jnp.asarray([[sx, sy]], jnp.float32),
+            jnp.asarray([flip]), left, right, dst)
+        np.testing.assert_allclose(np.asarray(dev[0]), host_anns,
+                                   rtol=1e-4, atol=2e-3)
+
+
+def test_photometric_gray_matches_cv2(rng):
+    img = (rng.rand(2, 32, 32, 3) * 255).astype(np.float32)
+    out = photometric(jnp.asarray(img),
+                      jnp.asarray([True, False]),
+                      jnp.zeros((2, 4), jnp.float32))
+    out = np.asarray(out)
+    want = T.to_gray(img[0].astype(np.uint8))
+    got = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+    np.testing.assert_array_equal(np.round(out[1]), np.round(img[1]))
+
+
+def test_photometric_tint_close_to_cv2(rng):
+    img = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+    shifts = (5, -20, 15)
+    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.int32)
+    hsv[:, :, 0] = (hsv[:, :, 0] + shifts[0]) % 180
+    hsv[:, :, 1] = np.clip(hsv[:, :, 1] + shifts[1], 0, 255)
+    hsv[:, :, 2] = np.clip(hsv[:, :, 2] + shifts[2], 0, 255)
+    want = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+    tints = jnp.asarray([[1.0, *shifts]], jnp.float32)
+    got = photometric(jnp.asarray(img[None], jnp.float32),
+                      jnp.asarray([False]), tints)
+    got = np.clip(np.round(np.asarray(got[0])), 0, 255).astype(np.uint8)
+    # cv2 quantizes H to 2-degree bins and S to /255 steps before shifting;
+    # float HSV differs by quantization only
+    diff = np.abs(got.astype(int) - want.astype(int))
+    assert np.mean(diff) < 4.0, np.mean(diff)
+    assert np.median(diff) <= 2.0
+
+
+def test_device_mode_sample_parity_with_host_mode(rng, tmp_path):
+    """Same RNG stream -> identical aug parameters; device-transformed
+    annotations match the host pipeline's post-warp annotations."""
+    from offsetguided_tpu.data.pipeline import CocoKeypoints
+    from offsetguided_tpu.cli.selfcheck import make_dataset
+
+    img_dir, ann_file = make_dataset(tmp_path / 'ds', n_images=2)
+    kw = dict(skeleton=SkeletonConfig(), square_length=128, max_persons=8)
+    host_ds = CocoKeypoints(str(img_dir), str(ann_file), **kw)
+    # raw_canvas covers the 320-wide sources: no host pre-downscale, exact
+    # same matrix as the host path
+    dev_ds = CocoKeypoints(str(img_dir), str(ann_file), device_aug=True,
+                           raw_canvas=320, **kw)
+
+    for i in range(2):
+        host = host_ds.get(i, np.random.RandomState(42 + i))
+        dev = dev_ds.get(i, np.random.RandomState(42 + i))
+        imgs, mask, anns = augment_batch(
+            jnp.asarray(dev['image'][None]),
+            jnp.asarray(dev['mask_miss'][None]),
+            jnp.asarray(dev['anns'][None]),
+            jnp.asarray(dev['aug_mat'][None]),
+            jnp.asarray(dev['aug_mat_inv'][None]),
+            jnp.asarray(dev['aug_scale_xy'][None]),
+            jnp.asarray([dev['aug_flags'][0] > 0.5]),
+            jnp.asarray([dev['aug_flags'][1] > 0.5]),
+            jnp.asarray(dev['aug_tint'][None]),
+            jnp.asarray(dev['valid_hw'][None]),
+            128, dev_ds.left_index, dev_ds.right_index)
+        np.testing.assert_allclose(np.asarray(anns[0]), host['anns'],
+                                   rtol=1e-4, atol=3e-3)
+        # images: same geometry, quantization-level pixel differences
+        hi = host['image'].astype(np.float32)
+        di = np.asarray(imgs[0]).astype(np.float32)
+        assert np.mean(np.abs(hi - di) <= 2) > 0.9, np.mean(np.abs(hi - di))
+        # mask: host ships uint8 of the cubic-warped mask
+        hm = host['mask_miss'].astype(np.float32) / 255.0
+        dm = np.asarray(mask[0])
+        assert np.mean(np.abs(hm - dm) < 0.05) > 0.97
+
+
+def test_worker_count_invariance_device_aug(tmp_path):
+    """Device-aug batches (incl. the new aug-parameter arrays through the
+    shared-memory transport) are identical for 0 and 2 loader workers."""
+    from offsetguided_tpu.data.pipeline import CocoKeypoints, batch_iterator
+    from offsetguided_tpu.cli.selfcheck import make_dataset
+
+    img_dir, ann_file = make_dataset(tmp_path / 'ds', n_images=5)
+    ds = CocoKeypoints(str(img_dir), str(ann_file), square_length=64,
+                       max_persons=4, device_aug=True, raw_canvas=320)
+    grab = lambda nw: [
+        {k: v for k, v in b.items() if k not in ('metas', 'epoch')}
+        for b in batch_iterator(ds, 2, seed=7, epochs=1, num_workers=nw)]
+    serial = grab(0)
+    workers = grab(2)
+    assert len(serial) == len(workers) > 0
+    for a, b in zip(serial, workers):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -134,6 +134,7 @@ class _HardCrashDataset:
         self.square = inner.square
         self.max_persons = inner.max_persons
         self.skeleton = inner.skeleton
+        self.sample_spec = inner.sample_spec
 
     def __len__(self):
         return len(self._inner)
