@@ -53,19 +53,17 @@ def main():
     sigmas = np.asarray(skeleton.sigmas)
 
     if args.device_aug:
-        from offsetguided_tpu.ops.augment import augment_batch
+        from offsetguided_tpu.ops.augment import augment_batch_dict
 
         @jax.jit
         def aug_encode(b):
-            imgs, mask01, anns2 = augment_batch(
-                b['image'], b['mask_miss'], b['anns'], b['aug_mat'],
-                b['aug_mat_inv'], b['aug_scale_xy'],
-                b['aug_flags'][:, 0] > 0.5, b['aug_flags'][:, 1] > 0.5,
-                b['aug_tint'], b['valid_hw'], args.square_length,
-                ds.left_index, ds.right_index)
+            imgs, mask01, anns2 = augment_batch_dict(
+                b, args.square_length, ds.left_index, ds.right_index)
             t = encode_targets(anns2, sigmas, COCO_PERSON_SKELETON,
                                out_hw, out_hw, enc)
-            return t, downscale_mask(mask01, enc)
+            # imgs RETURNED so the warp is in the measured program (a
+            # discarded output would be dead-code-eliminated at lowering)
+            return imgs, t, downscale_mask(mask01, enc)
 
     @jax.jit
     def encode(anns, mask):
@@ -83,7 +81,7 @@ def main():
         if args.device_aug:
             dev = {k: jnp.asarray(v) for k, v in batch.items()
                    if k not in ('metas', 'epoch')}
-            targets, mask = aug_encode(dev)
+            imgs, targets, mask = aug_encode(dev)
         else:
             targets, mask = encode(jnp.asarray(batch['anns']),
                                    jnp.asarray(batch['mask_miss']))

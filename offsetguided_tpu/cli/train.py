@@ -318,26 +318,20 @@ def main(argv=None):
         return targets, downscale_mask(mask_in, enc_cfg)
 
     @jax.jit
-    def _aug_encode(raw_imgs, raw_masks, anns, mat, mat_inv, scale_xy,
-                    flags, tint, valid_hw):
+    def _aug_encode(dev_batch):
         # device augmentation (ops/augment.py) + GT encoding, one program
-        from offsetguided_tpu.ops.augment import augment_batch
-        imgs, mask01, anns2 = augment_batch(
-            raw_imgs, raw_masks, anns, mat, mat_inv, scale_xy,
-            flags[:, 0] > 0.5, flags[:, 1] > 0.5, tint, valid_hw,
-            args.square_length, dataset.left_index, dataset.right_index)
+        from offsetguided_tpu.ops.augment import augment_batch_dict
+        imgs, mask01, anns2 = augment_batch_dict(
+            dev_batch, args.square_length,
+            dataset.left_index, dataset.right_index)
         targets = encode_targets(anns2, sigmas, skeleton.skeleton,
                                  out_hw, out_hw, enc_cfg)
         return imgs, targets, downscale_mask(mask01, enc_cfg)
 
     def device_batch(batch):
         if 'aug_mat' in batch:                # device-aug raw batch
-            return _aug_encode(
-                put(batch['image']), put(batch['mask_miss']),
-                put(batch['anns']), put(batch['aug_mat']),
-                put(batch['aug_mat_inv']), put(batch['aug_scale_xy']),
-                put(batch['aug_flags']), put(batch['aug_tint']),
-                put(batch['valid_hw']))
+            return _aug_encode({k: put(v) for k, v in batch.items()
+                                if k not in ('metas', 'epoch')})
         images = put(batch['image'])          # uint8; normalized in-step
         anns = put(batch['anns'])
         mask_in = put(batch['mask_miss'])

@@ -109,6 +109,17 @@ class CocoKeypoints:
         C0 = self.raw_canvas
         h, w = image.shape[:2]
         if max(h, w) > C0:                       # rare: source exceeds canvas
+            # double-resample path: augmentation no longer matches the host
+            # mode bit-for-bit (host warps once from full resolution) — warn
+            # once so a wrong --raw-canvas on a non-COCO dataset is visible
+            if not getattr(self, '_warned_canvas', False):
+                self._warned_canvas = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    'device_aug: source image %dx%d exceeds raw_canvas=%d; '
+                    'pre-downscaling on host (aug diverges from host mode '
+                    'for such images — raise --raw-canvas to cover the '
+                    'largest source side)', w, h, C0)
             image, anns, meta = T.rescale_long_absolute(image, anns, meta, C0)
             mask_miss = cv2.resize(mask_miss, (image.shape[1],
                                                image.shape[0]),
@@ -123,6 +134,21 @@ class CocoKeypoints:
         raw[:h, :w] = image
         raw_mask = np.full((C0, C0), 255, np.uint8)
         raw_mask[:h, :w] = mask_miss
+
+        # mirror warp_affine's meta updates (data/transforms.py:265-269) so
+        # device-aug metas describe the WARPED geometry like host-mode metas
+        # (inverse transforms / visualization consume these)
+        meta = dict(meta)
+        if params['flip']:
+            jci = meta['joint_channel_ind'].copy()
+            jci[self.left_index] = self.right_index
+            jci[self.right_index] = self.left_index
+            meta['joint_channel_ind'] = jci
+        meta['hflip'] = bool(params['flip'])
+        meta['scale'] = meta['scale'] * np.array([sx, sy])
+        meta['rotate'] = meta['rotate'] + params['rotate']
+        meta['affine_mat'] = mat @ meta['affine_mat']
+        meta['width_height'] = np.array([self.square, self.square])
 
         return {
             'image': raw,

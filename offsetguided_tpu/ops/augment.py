@@ -79,7 +79,10 @@ def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
     border = jnp.broadcast_to(
         jnp.asarray(border_value, jnp.float32).reshape(1, 1, 1, -1),
         (1, 1, 1, c))
-    flat = images.reshape(n, h * w, c).astype(jnp.float32)
+    # gather in the INPUT dtype (uint8 stays uint8 through the gather —
+    # 4x less HBM than widening the whole canvas first); widen per tap,
+    # where the gathered slab is only oh*ow*c
+    flat = images.reshape(n, h * w, c)
 
     out = jnp.zeros((n, oh, ow, c), jnp.float32)
     for dy in range(-1, 3):
@@ -92,7 +95,8 @@ def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
             ix = jnp.clip(tx, 0, w - 1).astype(jnp.int32)
             iy = jnp.clip(ty, 0, h - 1).astype(jnp.int32)
             idx = (iy * w + ix).reshape(n, oh * ow, 1)
-            val = jnp.take_along_axis(flat, idx, axis=1).reshape(n, oh, ow, c)
+            val = jnp.take_along_axis(flat, idx, axis=1).reshape(
+                n, oh, ow, c).astype(jnp.float32)
             out = out + wgt * jnp.where(inb, val, border)
     return out
 
@@ -221,3 +225,15 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
     anns = transform_annotations(anns, mats, scale_xy, flips,
                                  left_index, right_index, out_size)
     return imgs, mask, anns
+
+
+def augment_batch_dict(batch, out_size: int, left_index: Sequence[int],
+                       right_index: Sequence[int]):
+    """`augment_batch` over the batch dict the data pipeline ships
+    (sample_spec keys) — the one unpacking shared by every jitted caller."""
+    return augment_batch(
+        batch['image'], batch['mask_miss'], batch['anns'],
+        batch['aug_mat'], batch['aug_mat_inv'], batch['aug_scale_xy'],
+        batch['aug_flags'][:, 0] > 0.5, batch['aug_flags'][:, 1] > 0.5,
+        batch['aug_tint'], batch['valid_hw'], out_size,
+        left_index, right_index)

@@ -164,3 +164,38 @@ def test_worker_count_invariance_device_aug(tmp_path):
         assert a.keys() == b.keys()
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_cubic_weights_match_resize_kernel():
+    """ops/augment._cubic_w must stay the same Keys a=-0.75 polynomial as
+    ops/resize._cubic_kernel (decoder upsampling) — pinned against drift."""
+    from offsetguided_tpu.ops.augment import _cubic_w
+    from offsetguided_tpu.ops.resize import _cubic_kernel
+    d = np.linspace(-2.5, 2.5, 101)
+    # f32 (jnp default) vs f64 evaluation of the same polynomial
+    np.testing.assert_allclose(np.asarray(_cubic_w(jnp.asarray(d))),
+                               _cubic_kernel(d), rtol=3e-4, atol=2e-6)
+
+
+def test_device_mode_meta_matches_host_mode(tmp_path):
+    """Device-aug metas must describe the warped geometry exactly like
+    host-mode metas (inverse transforms consume them)."""
+    from offsetguided_tpu.data.pipeline import CocoKeypoints
+    from offsetguided_tpu.cli.selfcheck import make_dataset
+
+    img_dir, ann_file = make_dataset(tmp_path / 'ds', n_images=1)
+    kw = dict(skeleton=SkeletonConfig(), square_length=128, max_persons=8)
+    host = CocoKeypoints(str(img_dir), str(ann_file), **kw).get(
+        0, np.random.RandomState(5))
+    dev = CocoKeypoints(str(img_dir), str(ann_file), device_aug=True,
+                        raw_canvas=320, **kw).get(
+        0, np.random.RandomState(5))
+    hm, dm = host['meta'], dev['meta']
+    assert hm['hflip'] == dm['hflip']
+    np.testing.assert_allclose(dm['affine_mat'], hm['affine_mat'],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(dm['scale'], hm['scale'])
+    assert dm['rotate'] == hm['rotate']
+    np.testing.assert_array_equal(dm['width_height'], hm['width_height'])
+    np.testing.assert_array_equal(dm['joint_channel_ind'],
+                                  hm['joint_channel_ind'])
