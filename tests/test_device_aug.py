@@ -199,3 +199,45 @@ def test_device_mode_meta_matches_host_mode(tmp_path):
     np.testing.assert_array_equal(dm['width_height'], hm['width_height'])
     np.testing.assert_array_equal(dm['joint_channel_ind'],
                                   hm['joint_channel_ind'])
+
+
+def test_device_aug_shards_over_data_axis(tmp_path):
+    """The device-aug program (warp gathers + photometric + ann transform)
+    must compile and run batch-sharded over the virtual multi-device mesh —
+    every op is per-sample, so XLA partitions it without collectives."""
+    import jax
+    from offsetguided_tpu.data.pipeline import CocoKeypoints
+    from offsetguided_tpu.cli.selfcheck import make_dataset
+    from offsetguided_tpu.ops.augment import augment_batch_dict
+    from offsetguided_tpu.parallel import batch_sharding, make_mesh
+
+    n_dev = jax.device_count()
+    if n_dev < 2:
+        pytest.skip('needs multi-device host platform')
+    img_dir, ann_file = make_dataset(tmp_path / 'ds', n_images=2)
+    ds = CocoKeypoints(str(img_dir), str(ann_file), square_length=64,
+                       max_persons=4, device_aug=True, raw_canvas=320)
+    rng = np.random.RandomState(0)
+    samples = [ds.get(i % len(ds), rng) for i in range(n_dev)]
+    batch = {k: np.stack([s[k] for s in samples])
+             for k in ds.sample_spec()}
+
+    mesh = make_mesh(n_dev, 1)
+    bsh = batch_sharding(mesh)
+    dev = {k: jax.device_put(jnp.asarray(v), bsh) for k, v in batch.items()}
+    with mesh:
+        imgs, mask, anns = jax.jit(
+            lambda b: augment_batch_dict(b, 64, ds.left_index,
+                                         ds.right_index))(dev)
+        imgs = np.asarray(imgs)
+    assert imgs.shape == (n_dev, 64, 64, 3)
+    # sharded result == single-device result
+    ref_i, ref_m, ref_a = augment_batch_dict(
+        {k: jnp.asarray(v) for k, v in batch.items()}, 64,
+        ds.left_index, ds.right_index)
+    # partitioned vs fused fma ordering can flip round() by 1 LSB
+    assert np.abs(imgs.astype(int) - np.asarray(ref_i).astype(int)).max() <= 1
+    np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_m),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(anns), np.asarray(ref_a),
+                               rtol=1e-6, atol=1e-5)
