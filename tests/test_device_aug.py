@@ -238,6 +238,6 @@ def test_device_aug_shards_over_data_axis(tmp_path):
     # partitioned vs fused fma ordering can flip round() by 1 LSB
     assert np.abs(imgs.astype(int) - np.asarray(ref_i).astype(int)).max() <= 1
     np.testing.assert_allclose(np.asarray(mask), np.asarray(ref_m),
-                               atol=1e-6)
+                               atol=1e-5)
     np.testing.assert_allclose(np.asarray(anns), np.asarray(ref_a),
                                rtol=1e-6, atol=1e-5)
