@@ -87,6 +87,9 @@ def main(argv=None):
     p.add_argument('--steps', type=int, default=1500)
     p.add_argument('--time-budget-s', type=float, default=1800)
     p.add_argument('--min-ap', type=float, default=0.5)
+    p.add_argument('--device-aug', action='store_true',
+                   help='train through the device-side augmentation path '
+                        '(ops/augment.py) instead of host cv2')
     args = p.parse_args(argv)
 
     import jax
@@ -122,7 +125,8 @@ def main(argv=None):
                              max_stretch=1.0, max_translate=0, gray_prob=0.0,
                              color_tint_prob=0.0, annotation_jitter_prob=0.0)
     ds = CocoKeypoints(img_dir, ann_file, skeleton=skeleton, aug=aug,
-                       square_length=S, max_persons=8)
+                       square_length=S, max_persons=8,
+                       device_aug=args.device_aug, raw_canvas=320)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)),
                            train=False)
     loss_cfg = LossConfig(stack_weights=(1.0,), fgamma=2.0,
@@ -133,13 +137,32 @@ def main(argv=None):
     sig = np.asarray(COCO_PERSON_SIGMAS)
     out_hw = S // 4
 
+    if args.device_aug:
+        from offsetguided_tpu.ops.augment import augment_batch_dict
+
+        @jax.jit
+        def _prepare(b):
+            imgs, mask01, anns2 = augment_batch_dict(b, S, ds.left_index,
+                                                     ds.right_index)
+            t = encode_targets(anns2, sig, COCO_PERSON_SKELETON,
+                               out_hw, out_hw, enc)
+            return imgs, t, downscale_mask(mask01, enc)
+
+        def prepare(batch):
+            return _prepare({k: jnp.asarray(v) for k, v in batch.items()
+                             if k not in ('metas', 'epoch')})
+    else:
+        def prepare(batch):
+            t = encode_targets(jnp.asarray(batch['anns']), sig,
+                               COCO_PERSON_SKELETON, out_hw, out_hw, enc)
+            mask = downscale_mask(jnp.asarray(batch['mask_miss']), enc)
+            return jnp.asarray(batch['image']), t, mask
+
     t0 = time.time()
     n = 0
     for batch in batch_iterator(ds, 4, seed=0, shuffle=False, epochs=None):
-        t = encode_targets(jnp.asarray(batch['anns']), sig,
-                           COCO_PERSON_SKELETON, out_hw, out_hw, enc)
-        mask = downscale_mask(jnp.asarray(batch['mask_miss']), enc)
-        state, m = step(state, jnp.asarray(batch['image']), t, mask)
+        imgs, t, mask = prepare(batch)
+        state, m = step(state, imgs, t, mask)
         n += 1
         if n % 250 == 0:
             print(f'step {n}: total={float(m["total"]):.3f} '
