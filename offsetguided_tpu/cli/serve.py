@@ -117,8 +117,33 @@ class Batcher:
         self._bs = batch_size
         self._window = window_ms / 1e3
         self._q: queue.Queue = queue.Queue()
+        # observability (read under _mlock by /metrics)
+        self._mlock = threading.Lock()
+        self.n_requests = 0
+        self.n_batches = 0
+        self.n_errors = 0
+        self._fill_sum = 0          # images per dispatched batch
+        self._lat_ring = []         # last 512 device-batch latencies (s)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def metrics(self) -> dict:
+        with self._mlock:
+            lats = sorted(self._lat_ring)
+            n = len(lats)
+            pct = (lambda q: round(lats[min(int(q * n), n - 1)] * 1e3, 1)
+                   ) if n else (lambda q: None)
+            return {
+                'requests': self.n_requests,
+                'batches': self.n_batches,
+                'errors': self.n_errors,
+                'batch_capacity': self._bs,
+                'mean_batch_fill': (round(self._fill_sum / self.n_batches, 2)
+                                    if self.n_batches else None),
+                'device_batch_latency_ms': {
+                    'p50': pct(0.50), 'p90': pct(0.90), 'p99': pct(0.99)},
+                'queue_depth': self._q.qsize(),
+            }
 
     def submit(self, image: np.ndarray, meta, timeout: float = 60.0):
         """Blocks until this request's batch returns; poses in original
@@ -150,6 +175,7 @@ class Batcher:
             imgs = [b[0] for b in batch]
             while len(imgs) < self._bs:           # pad to the compiled shape
                 imgs.append(np.zeros_like(imgs[0]))
+            t0 = time.monotonic()
             try:
                 poses, _, counts = self._infer(jnp.asarray(np.stack(imgs)))
                 poses = np.asarray(poses)
@@ -158,10 +184,20 @@ class Batcher:
                     valid = poses[i][:int(counts[i])]
                     slot['poses'] = T.annotations_inverse(valid, meta)
                     ev.set()
+                err = 0
             except Exception as e:  # surface device errors to every waiter
                 for _, _, ev, slot in batch:
                     slot['error'] = e
                     ev.set()
+                err = len(batch)
+            with self._mlock:
+                self.n_requests += len(batch)
+                self.n_batches += 1
+                self.n_errors += err
+                self._fill_sum += len(batch)
+                self._lat_ring.append(time.monotonic() - t0)
+                if len(self._lat_ring) > 512:
+                    del self._lat_ring[0]
 
 
 def poses_to_json(poses: np.ndarray) -> list:
@@ -209,6 +245,8 @@ def make_server(args, infer, skeleton, eval_cfg):
                     'batch_size': eval_cfg.batch_size,
                     'flip_test': eval_cfg.flip_test,
                     'n_keypoints': n_kp})
+            elif self.path == '/metrics':
+                self._json(200, batcher.metrics())
             else:
                 self._json(404, {'error': 'not found'})
 

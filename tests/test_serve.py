@@ -108,3 +108,16 @@ def test_empty_body_rejected(server_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(req, timeout=60)
     assert exc.value.code == 400
+
+
+def test_metrics_endpoint(server_url, rng):
+    _post(server_url, _jpeg_bytes(rng))
+    with urllib.request.urlopen(server_url + '/metrics', timeout=60) as r:
+        assert r.status == 200
+        m = json.loads(r.read())
+    assert m['requests'] >= 1
+    assert m['batches'] >= 1
+    assert m['errors'] == 0
+    assert m['batch_capacity'] == 2
+    assert 0 < m['mean_batch_fill'] <= 2
+    assert m['device_batch_latency_ms']['p50'] > 0
