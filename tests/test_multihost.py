@@ -78,6 +78,9 @@ def test_train_distributed_two_processes(tiny_dataset, tmp_path):
             '--train-image-dir', img_dir, '--train-annotations', ann_file,
             '--square-length', '64', '--max-persons', '4',
             '--debug-tiny-model', '--n-stacks', '1',
+            # device-aug: the per-sample aug-parameter arrays also ride the
+            # per-process global-batch slicing (strict superset of host mode)
+            '--device-aug', '--raw-canvas', '96',
             '--batch-size', '4', '--max-steps', '2', '--print-freq', '1',
             '--checkpoint-dir', ckpt_dir,
             '--distributed', '--coordinator-address', f'localhost:{port}',
