@@ -24,8 +24,12 @@ def cli(argv=None):
     p.add_argument('--batch-size', type=int, default=1)
     p.add_argument('--output', default=None,
                    help='write serialized StableHLO to this path')
-    p.add_argument('--checkpoint', default=None)
+    p.add_argument('--checkpoint', default=None,
+                   help='orbax checkpoint (a tools/train.py save) to export')
     p.add_argument('--torch-checkpoint', default=None)
+    p.add_argument('--to-torch', default=None, metavar='PATH',
+                   help='write the weights as a reference-format .pth '
+                        '(loadable by the reference framework, strict=True)')
     p.add_argument('--with-decode', action='store_true',
                    help='export forward + full decode instead of forward only')
     p.add_argument('--debug-tiny-model', action='store_true')
@@ -63,9 +67,22 @@ def main(argv=None):
     if args.torch_checkpoint:
         variables, _ = ckpt.load_torch_checkpoint(args.torch_checkpoint,
                                                   variables, cfg)
+    elif args.checkpoint:
+        from offsetguided_tpu.config.defaults import TrainConfig
+        from offsetguided_tpu.parallel import (create_train_state,
+                                               make_optimizer)
+        state = create_train_state(variables, make_optimizer(TrainConfig()))
+        state, _, _ = ckpt.load_checkpoint(args.checkpoint, state,
+                                           drop_optimizer=True)
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats}
 
     for name, n in summarize(variables).items():
         print(f'{name:>20}: {n / 1e6:10.3f} M params')
+
+    if args.to_torch:
+        ckpt.save_torch_checkpoint(args.to_torch, variables, cfg)
+        print(f'wrote reference-format torch checkpoint: {args.to_torch}')
 
     if args.with_decode:
         from offsetguided_tpu.decoder import PostProcessor

@@ -388,6 +388,89 @@ def convert_torch_state_dict(state_dict: Dict[str, np.ndarray],
     return converted, missing
 
 
+def _f2t_conv(w) -> np.ndarray:
+    """flax HWIO -> torch OIHW."""
+    return np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+
+def export_torch_state_dict(variables: Dict,
+                            cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Flax variables {params, batch_stats} -> reference-style state_dict.
+
+    Exact inverse of `convert_torch_state_dict`: key names and OIHW layout
+    follow the reference NetworkWrapper module tree (models/networks.py:
+    176-194 `basenet.`/`headnets.` split, models/hourglass_104.py:193-298,
+    models/heads.py:10-142), so the result loads into the reference
+    framework with `strict=True` — a model trained here can be evaluated or
+    fine-tuned there. BatchNorm `num_batches_tracked` counters (which the
+    reference's own saved files carry) are emitted as 0.
+    """
+    if cfg.basenet != 'hourglass104':
+        raise ValueError(
+            f'torch export is defined for the reference Hourglass-104 module '
+            f'tree only, not basenet={cfg.basenet!r}')
+    params = _flatten(jax.tree_util.tree_map(np.asarray, variables['params']))
+    stats = _flatten(jax.tree_util.tree_map(np.asarray,
+                                            variables['batch_stats']))
+    sd: Dict[str, np.ndarray] = {}
+
+    def f32(v):
+        return np.asarray(v, np.float32)
+
+    def put_bn(flax_prefix, bn_f, torch_prefix):
+        sd[f'{torch_prefix}.weight'] = f32(params[f'{flax_prefix}/{bn_f}/scale'])
+        sd[f'{torch_prefix}.bias'] = f32(params[f'{flax_prefix}/{bn_f}/bias'])
+        sd[f'{torch_prefix}.running_mean'] = f32(
+            stats[f'{flax_prefix}/{bn_f}/mean'])
+        sd[f'{torch_prefix}.running_var'] = f32(
+            stats[f'{flax_prefix}/{bn_f}/var'])
+        sd[f'{torch_prefix}.num_batches_tracked'] = np.asarray(0, np.int64)
+
+    bb = 'Hourglass104_0'
+    for flax_path, torch_prefix, kind in _torch_hourglass_names(cfg):
+        fp = f'{bb}/{flax_path}'
+        if kind in ('convbn', 'convbn_seq'):
+            seq = kind == 'convbn_seq'
+            conv_t = f'{torch_prefix}.0' if seq else f'{torch_prefix}.conv'
+            bn_t = f'{torch_prefix}.1' if seq else f'{torch_prefix}.bn'
+            sd[f'{conv_t}.weight'] = _f2t_conv(params[f'{fp}/Conv_0/kernel'])
+            if f'{fp}/Conv_0/bias' in params:
+                sd[f'{conv_t}.bias'] = f32(params[f'{fp}/Conv_0/bias'])
+            put_bn(fp, 'BatchNorm_0', bn_t)
+        else:
+            sd[f'{torch_prefix}.conv1.weight'] = _f2t_conv(
+                params[f'{fp}/Conv_0/kernel'])
+            put_bn(fp, 'BatchNorm_0', f'{torch_prefix}.bn1')
+            sd[f'{torch_prefix}.conv2.weight'] = _f2t_conv(
+                params[f'{fp}/Conv_1/kernel'])
+            put_bn(fp, 'BatchNorm_1', f'{torch_prefix}.bn2')
+            if f'{fp}/Conv_2/kernel' in params:
+                sd[f'{torch_prefix}.skip.0.weight'] = _f2t_conv(
+                    params[f'{fp}/Conv_2/kernel'])
+                put_bn(fp, 'BatchNorm_2', f'{torch_prefix}.skip.1')
+
+    hp = 'PoseHeads_0'
+    for flax_name, torch_prefix in _head_names(cfg):
+        sd[f'{torch_prefix}.weight'] = _f2t_conv(
+            params[f'{hp}/{flax_name}/kernel'])
+        sd[f'{torch_prefix}.bias'] = f32(params[f'{hp}/{flax_name}/bias'])
+    return sd
+
+
+def save_torch_checkpoint(path: str, variables: Dict, cfg: ModelConfig, *,
+                          epoch: int = 0,
+                          train_loss: float = float('nan')) -> None:
+    """Write a reference-format `.pth` file (networks.py:126-144 dict layout:
+    {epoch, train_loss, model_state_dict}) loadable by the reference's
+    `load_model` and by `load_torch_checkpoint` here."""
+    import torch
+    # copy=True: jax-backed arrays are read-only views torch can't wrap
+    sd = {k: torch.from_numpy(np.array(v, copy=True))
+          for k, v in export_torch_state_dict(variables, cfg).items()}
+    torch.save({'epoch': epoch, 'train_loss': train_loss,
+                'model_state_dict': sd}, path)
+
+
 def inverse_torch_names(variables: Dict, cfg: ModelConfig) -> Dict[str, tuple]:
     """flax path -> expected torch key + shape; used for mapping validation."""
     out = {}
