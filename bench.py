@@ -50,7 +50,7 @@ BASELINE_FPS = 30.0  # reference 2080 Ti end-to-end FPS
 
 
 def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16',
-          flip_test=False, peaks_map_batch=1):
+          flip_test=False, peaks_map_batch=None):
     from offsetguided_tpu.config.defaults import DecoderConfig, ModelConfig
     from offsetguided_tpu.decoder import PostProcessor
     from offsetguided_tpu.models import PoseNet
@@ -62,10 +62,11 @@ def build(batch, size, upsampled_decode=True, compute_dtype='bfloat16',
     variables = model.init(jax.random.PRNGKey(1),
                            jnp.zeros((1, 128, 128, 3), jnp.float32),
                            train=False)
+    kw = ({} if peaks_map_batch is None
+          else {'peaks_map_batch': peaks_map_batch})
     pp = PostProcessor(cfg=DecoderConfig(
         topk=32, thre_hmp=0.04, dist_max=40.0,
-        upsampled_decode=upsampled_decode,
-        peaks_map_batch=peaks_map_batch))
+        upsampled_decode=upsampled_decode, **kw))
 
     @jax.jit
     def infer(vars_, img):
@@ -104,12 +105,13 @@ def timed_fps(infer, variables, image, n1=4, n2=12):
 def main():
     flip = '--flip-test' in sys.argv     # extra mode for BENCHMARKS.md runs;
     size = 640                           # the driver invokes with no args
-    pmb = 1                              # --peaks-map-batch N: A/B knob
-    if '--peaks-map-batch' in sys.argv:
+    pmb = None                           # --peaks-map-batch N: A/B knob
+    if '--peaks-map-batch' in sys.argv:  # (None = DecoderConfig default)
         try:
             pmb = int(sys.argv[sys.argv.index('--peaks-map-batch') + 1])
         except (IndexError, ValueError):
-            sys.stderr.write('--peaks-map-batch needs an int; using 1\n')
+            sys.stderr.write('--peaks-map-batch needs an int; using '
+                             'the DecoderConfig default\n')
     fps = None
     for batch in (8, 4, 2, 1):
         try:

@@ -129,8 +129,13 @@ class DecoderConfig:
     # maps processed per grid step by the fused peaks kernel; >1 batches the
     # top-k extraction loop across maps stacked along sublanes
     # (ops/pallas/peaks_pallas.py::_fused_peaks_batched). Results are
-    # identical per map; this is purely a performance knob.
-    peaks_map_batch: int = 1
+    # identical per map; this is purely a performance knob. Real-TPU A/B at
+    # the headline 640^2/batch-8 config (BENCHMARKS.md, 2026-08-18):
+    # 1 -> 195.3 img/s, 2 -> 202.3, 3 -> 204.7, 4 -> 203.8, 6 -> 205.5;
+    # plateau from 3 up (the loop's vector ops fill (mb, hb) vregs), so the
+    # default takes the measured best. VMEM scratch scales with mb
+    # (2 * mb*hb*hb f32 = 4.9 MB at mb=6, 640^2).
+    peaks_map_batch: int = 6
     # extra merge-only passes AFTER the last limb iteration. Our grouping
     # merges at most one mergee per target row per iteration (remaining
     # pairs settle on later iterations); without settling, pairs still
