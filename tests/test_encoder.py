@@ -142,3 +142,43 @@ def test_downscale_mask_matches_cv2(rng):
     # compare only away from threshold boundary to dodge float differences
     stable = np.abs(ref - cfg.mask_miss_threshold) > 1e-3
     np.testing.assert_array_equal(ours[stable], ref_bool[stable])
+
+
+def test_vectorized_matches_scan_implementation(rng):
+    """The default person-vectorized renderer must agree with the lax.scan
+    formulation (kept as `_encode_single_scan`): selection-driven fields
+    (jomp/omp/scmp/pscmp) bit-exactly — including exact-duplicate-person
+    ties — and hmp/bg to 1 f32 ulp (the compiler may fuse exp(a)*exp(b)
+    differently between the two programs)."""
+    import functools
+    import jax
+    from offsetguided_tpu.ops import encoder as enc_mod
+
+    P = 8
+    cfg = EncoderConfig(max_persons=P)
+    out = 48
+    S = out * cfg.stride
+    kw = dict(sigmas=jnp.asarray(np.asarray(COCO_PERSON_SIGMAS)),
+              skeleton=tuple(map(tuple, SK)), out_h=out, out_w=out, cfg=cfg)
+    vec = jax.jit(functools.partial(enc_mod._encode_single, **kw))
+    scan = jax.jit(functools.partial(enc_mod._encode_single_scan, **kw))
+    for trial in range(4):
+        anns = np.zeros((P, J, 4), np.float32)
+        npers = [0, 3, P, 5][trial]
+        anns[:npers, :, 0] = rng.rand(npers, J) * S * 1.2 - S * 0.1
+        anns[:npers, :, 1] = rng.rand(npers, J) * S * 1.2 - S * 0.1
+        anns[:npers, :, 2] = rng.randint(0, 3, (npers, J)).astype(np.float32)
+        anns[:npers, :, 3] = rng.rand(npers, J) * 30 + 0.5
+        if trial == 3:
+            anns[1] = anns[0]            # exact nearest-wins ties
+        a, b = vec(jnp.asarray(anns)), scan(jnp.asarray(anns))
+        for name in a._fields:
+            x, y = np.asarray(getattr(a, name)), np.asarray(getattr(b, name))
+            assert not (np.isnan(x) ^ np.isnan(y)).any(), (trial, name)
+            fin = np.isfinite(x) & np.isfinite(y)
+            assert not (np.isinf(x) ^ np.isinf(y)).any(), (trial, name)
+            if name in ('hmp', 'bg'):
+                np.testing.assert_allclose(x[fin], y[fin], atol=1.5e-7)
+            else:
+                np.testing.assert_array_equal(x[fin], y[fin],
+                                              err_msg=f'{trial} {name}')
