@@ -33,8 +33,17 @@ def _drain(out):
 
 
 def device_time(fn: Callable, *args, n1: int = 4, n2: int = 12,
-                warmup: int = 2) -> float:
-    """Seconds per call of a jitted function, robust to async tunnels."""
+                warmup: int = 2, min_seconds: float = 0.25,
+                repeats: int = 3) -> float:
+    """Seconds per call of a jitted function, robust to async tunnels.
+
+    Differences two run lengths to cancel the fixed fetch latency, but over
+    a relayed device the per-RPC jitter is tens of ms — comparable to a few
+    calls of a ms-scale program — so short runs can under-report by 2x+
+    (measured: a 2.77 ms Pallas kernel timed as 1.31 ms with n1=4/n2=12).
+    Run lengths are therefore scaled until the long run takes at least
+    `min_seconds`, and the marginal estimate is the median of `repeats`
+    pair measurements."""
     def run_n(n):
         t0 = time.perf_counter()
         out = None
@@ -45,9 +54,17 @@ def device_time(fn: Callable, *args, n1: int = 4, n2: int = 12,
         return time.perf_counter() - t0
 
     run_n(warmup)
-    t1 = run_n(n1)
     t2 = run_n(n2)
-    return max((t2 - t1) / (n2 - n1), 0.0)
+    while t2 < min_seconds and n2 < 4096:
+        n1, n2 = 2 * n1, 2 * n2
+        t2 = run_n(n2)
+    estimates = []
+    for _ in range(max(repeats, 1)):
+        t1 = run_n(n1)
+        t2 = run_n(n2)
+        estimates.append((t2 - t1) / (n2 - n1))
+    estimates.sort()
+    return max(estimates[len(estimates) // 2], 0.0)
 
 
 class StageTimer:

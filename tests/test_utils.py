@@ -13,6 +13,32 @@ from offsetguided_tpu.utils import (AverageMeter, StageTimer, Throughput,
                                     configure, log_record)
 
 
+def test_device_time_scales_runs_and_returns_median():
+    """Short runs under-report over jittery relays (a 2.77 ms kernel timed
+    as 1.31 ms with the old fixed n1=4/n2=12); the estimator must scale run
+    lengths until the long run dwarfs per-RPC noise and take a median of
+    repeated pair measurements."""
+    import jax
+    from offsetguided_tpu.utils import device_time
+
+    calls = []
+
+    @jax.jit
+    def f(x):
+        return x + 1.0
+
+    def counted(x):
+        calls.append(1)
+        return f(x)
+
+    x = jnp.zeros((4,))
+    dt = device_time(counted, x, n1=1, n2=2, warmup=1, min_seconds=1e-4,
+                     repeats=3)
+    assert dt >= 0.0
+    # warmup + scaling probe(s) + 3 (n1, n2) pairs actually executed
+    assert len(calls) >= 1 + 2 + 3 * 3
+
+
 def test_average_meter():
     m = AverageMeter()
     m.update(2.0)
