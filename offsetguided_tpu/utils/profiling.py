@@ -9,6 +9,7 @@ fetch and differences two run lengths to cancel fixed fetch latency.
 from __future__ import annotations
 
 import contextlib
+import statistics
 import time
 from typing import Callable, Optional
 
@@ -55,7 +56,7 @@ def device_time(fn: Callable, *args, n1: int = 4, n2: int = 12,
 
     run_n(warmup)
     t2 = run_n(n2)
-    while t2 < min_seconds and n2 < 4096:
+    while t2 < min_seconds and 2 * n2 <= 4096:
         n1, n2 = 2 * n1, 2 * n2
         t2 = run_n(n2)
     estimates = []
@@ -63,8 +64,7 @@ def device_time(fn: Callable, *args, n1: int = 4, n2: int = 12,
         t1 = run_n(n1)
         t2 = run_n(n2)
         estimates.append((t2 - t1) / (n2 - n1))
-    estimates.sort()
-    return max(estimates[len(estimates) // 2], 0.0)
+    return max(statistics.median(estimates), 0.0)
 
 
 class StageTimer:
