@@ -177,8 +177,9 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
 
     Args:
         maps: (N, h, w, C) stride-resolution map.
-        channels: None (use all C channels) or (L,) channel index per limb --
-            output then has maps' trailing group selected per limb.
+        channels: None (use all C channels), (L,) channel index per limb, or
+            (L, V) channel group per limb -- output then has maps' trailing
+            group selected per limb.
         xs, ys: (N, L, K) int32 full-resolution pixel coordinates (may be
             out of range; clamped like the torch resize border handling).
         method: 'bilinear' (2 taps/axis) or 'bicubic' (4 taps, A=-0.75).
@@ -235,6 +236,8 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
     wy = weights(fy)
 
     if impl == 'gather':
+        assert channels is None or np.asarray(channels).ndim == 1, \
+            'gather impl keeps the original per-limb single-channel form'
         T = len(rel)
         C = maps.shape[-1]
         # clipped tap coordinates (border clamp, duplicate taps accumulate)
@@ -294,30 +297,34 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
     # EVERY sample in the row (matmul touches all cells), so the maps are
     # sanitized for the value contraction and the poisoning is re-applied
     # from a 0/1 tap-footprint contraction over the non-finite mask.
+    # Value and mask contractions are STACKED along a leading g-axis into one
+    # batched matmul each -- half the dispatches of the former separate pairs
+    # (the decode glue is op-issue-bound, ~330 ops measured at 640^2/batch-8).
     finite = jnp.isfinite(maps)
     maps_c = jnp.where(finite, maps, 0.0)
     nf = (~finite).astype(Wy.dtype)
+    Wg = jnp.stack([Wy, Hy])                               # (2, N, L, K, h)
+    Xg = jnp.stack([Wx, Hx])                               # (2, N, L, K, w)
 
     if channels is not None:
-        ch = jnp.asarray(channels, dtype=jnp.int32)
-        M = jnp.take(maps_c, ch, axis=-1).transpose(0, 3, 1, 2)  # (N,L,h,w)
-        Mnf = jnp.take(nf, ch, axis=-1).transpose(0, 3, 1, 2)
-        tmp = jnp.einsum('nlkh,nlhw->nlkw', Wy, M, precision='highest')
-        val = jnp.sum(tmp * Wx, axis=-1)[..., None]        # (N, L, K, 1)
-        t1 = jnp.einsum('nlkh,nlhw->nlkw', Hy, Mnf, precision='highest')
-        touched = (jnp.sum(t1 * Hx, axis=-1) > 0)[..., None]
-        return jnp.where(touched, jnp.inf, val)
+        ch = np.asarray(channels, dtype=np.int32)
+        V = 1 if ch.ndim == 1 else ch.shape[1]
+        chf = jnp.asarray(ch.reshape(-1))
+        M = jnp.take(maps_c, chf, axis=-1).reshape(n, h, w, L, V)
+        Mnf = jnp.take(nf, chf, axis=-1).reshape(n, h, w, L, V)
+        Mg = jnp.stack([M, Mnf])                           # (2, N, h, w, L, V)
+        tmp = jnp.einsum('gnlkh,gnhwlv->gnlkwv', Wg, Mg, precision='highest')
+        out2 = jnp.einsum('gnlkwv,gnlkw->gnlkv', tmp, Xg, precision='highest')
+        val, hits = out2[0], out2[1]
+        return jnp.where(hits > 0, jnp.inf, val)           # (N, L, K, V)
 
     C_sel = maps.shape[-1]
-    Wy2 = Wy.reshape(n, L * k, h)
-    Wx2 = Wx.reshape(n, L * k, w)
-    tmp = jnp.einsum('nph,nhwc->npwc', Wy2, maps_c, precision='highest')
-    val = jnp.einsum('npw,npwc->npc', Wx2, tmp, precision='highest')
-    t1 = jnp.einsum('nph,nhwc->npwc', Hy.reshape(n, L * k, h), nf,
-                    precision='highest')
-    touched = jnp.einsum('npw,npwc->npc', Hx.reshape(n, L * k, w), t1,
-                         precision='highest') > 0
-    out = jnp.where(touched, jnp.inf, val)
+    Wg2 = Wg.reshape(2, n, L * k, h)
+    Xg2 = Xg.reshape(2, n, L * k, w)
+    Mg = jnp.stack([maps_c, nf])                           # (2, N, h, w, C)
+    tmp = jnp.einsum('gnph,gnhwc->gnpwc', Wg2, Mg, precision='highest')
+    out2 = jnp.einsum('gnpw,gnpwc->gnpc', Xg2, tmp, precision='highest')
+    out = jnp.where(out2[1] > 0, jnp.inf, out2[0])
     return out.reshape(n, L, k, C_sel)
 
 
@@ -574,29 +581,34 @@ def _collect_from_peaks(scores, inds, ys, xs, h, w, offs4, jtypes_f,
     inds_f, scores_f, xs_f, ys_f, xys_f = channel_dets(jf)
     inds_t, scores_t, xs_t, ys_t, xys_t = channel_dets(jt)
 
-    # guiding offsets at from-peaks: per-limb channel group of offs4.
-    # V=2 normally; V=4 after a `cat_flip_offs` flip merge (reference
-    # collect.py:143-152 vector_nd).
+    # guiding offsets at from-peaks: per-limb (L, V) channel group of offs4
+    # in ONE sampling contraction. V=2 normally; V=4 after a `cat_flip_offs`
+    # flip merge (reference collect.py:143-152 vector_nd).
     V = offs4.shape[-1] // L
-    ch0 = V * np.arange(L, dtype=np.int32)
-    off_f = jnp.concatenate(
-        [sample_limb_maps(offs4, ch0 + j, xs_f, ys_f, stride, 'bilinear')
-         for j in range(V)], axis=-1)                         # (N, L, K, V)
+    ch_pairs = (V * np.arange(L, dtype=np.int32))[:, None] \
+        + np.arange(V, dtype=np.int32)[None, :]               # (L, V)
+    off_f = sample_limb_maps(offs4, ch_pairs, xs_f, ys_f, stride, 'bilinear')
 
+    # scale/jitter dedup: every limb endpoint samples its keypoint channel
+    # at that channel's OWN peaks, so sample once per channel (C sets) and
+    # take per limb endpoint -- instead of 2x per limb (2L sets). Values are
+    # identical; the glue is dispatch-bound so fewer/bigger ops win.
+    C = scores.shape[1]
     if scmps4 is not None:
-        scales_f = sample_limb_maps(scmps4, jtypes_f, xs_f, ys_f, stride,
-                                    cfg.resize_mode)[..., 0]
-        scales_t = sample_limb_maps(scmps4, jtypes_t, xs_t, ys_t, stride,
-                                    cfg.resize_mode)[..., 0]
+        scale_all = sample_limb_maps(
+            scmps4, np.arange(C, dtype=np.int32), xs, ys, stride,
+            cfg.resize_mode)[..., 0]                          # (N, C, K)
+        scales_f = jnp.take(scale_all, jf, axis=1)
+        scales_t = jnp.take(scale_all, jt, axis=1)
     else:
         scales_f = jnp.full_like(scores_f, cfg.default_scale)
         scales_t = jnp.full_like(scores_t, cfg.default_scale)
 
     if jomps4 is not None:
-        jitter_f = sample_limb_maps(jomps4, None, xs_f, ys_f, stride,
-                                    'bilinear')
-        jitter_t = sample_limb_maps(jomps4, None, xs_t, ys_t, stride,
-                                    'bilinear')
+        jit_all = sample_limb_maps(jomps4, None, xs, ys, stride,
+                                   'bilinear')                # (N, C, K, 2)
+        jitter_f = jnp.take(jit_all, jf, axis=1)
+        jitter_t = jnp.take(jit_all, jt, axis=1)
     else:
         jitter_f = jnp.zeros((n, L, k, 2), dtype=xys_f.dtype)
         jitter_t = jnp.zeros((n, L, k, 2), dtype=xys_t.dtype)
