@@ -18,11 +18,16 @@ import time
 # (or the first device call) hangs every python process forever. Emit the
 # zero-value JSON line instead of hanging the driver. 40 min leaves room for
 # the tunnel's slow first compile (~157 s round trip observed) plus the run.
+_RESULT = {}   # filled incrementally so the watchdog can flush partial data
+
+
 def _watchdog(signum, frame):
     flip = '--flip-test' in sys.argv
     metric = 'e2e_fps_640_1chip' + ('_flip' if flip else '')
-    print(json.dumps({"metric": metric, "value": 0.0, "unit": "img/s",
-                      "vs_baseline": 0.0, "error": "timeout (TPU tunnel down?)"}))
+    out = {"metric": metric, "value": 0.0, "unit": "img/s",
+           "vs_baseline": 0.0, "error": "timeout (TPU tunnel down?)"}
+    out.update(_RESULT)
+    print(json.dumps(out))
     sys.stdout.flush()
     os._exit(1)
 
@@ -123,18 +128,35 @@ def main():
         except Exception as e:  # OOM fallback to smaller batch
             sys.stderr.write(f'batch {batch} failed: {type(e).__name__}: {e}\n')
             continue
-    signal.alarm(0)
     metric = 'e2e_fps_640_1chip' + ('_flip' if flip else '')
     if fps is None:
+        signal.alarm(0)
         print(json.dumps({"metric": metric, "value": 0.0,
                           "unit": "img/s", "vs_baseline": 0.0}))
         return
-    print(json.dumps({
+    _RESULT.update({
         "metric": metric,
         "value": round(fps, 2),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+    })
+    if not flip:
+        # the reference's headline-AP configuration is FLIP-TEST (README.md:
+        # 69-87); measure it too and ride it in the same JSON line so every
+        # BENCH_rN captures both modes. Best-effort: the main metric above is
+        # already safe in _RESULT if this compile trips the watchdog.
+        try:
+            signal.alarm(2400)
+            infer, variables, image = build(batch, size, flip_test=True,
+                                            peaks_map_batch=pmb)
+            flip_fps = timed_fps(infer, variables, image)
+            _RESULT["flip_value"] = round(flip_fps, 2)
+            _RESULT["flip_vs_baseline"] = round(flip_fps / BASELINE_FPS, 3)
+        except Exception as e:
+            sys.stderr.write(f'flip-test measurement failed: '
+                             f'{type(e).__name__}: {e}\n')
+    signal.alarm(0)
+    print(json.dumps(_RESULT))
 
 
 if __name__ == '__main__':

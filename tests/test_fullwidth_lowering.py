@@ -1,13 +1,28 @@
-"""Production-width sharded lowering check (VERDICT round-2 item 7).
+"""Production-width sharded lowering + execution checks.
 
 The multi-chip dryrun executes a NARROW hourglass; channel-parallel edge
 cases (divisibility of every real width by the model axis, sharding-spec
 propagation through the full recursion) only appear at production widths.
-This test lowers -- does NOT compile or run -- the full-width Hourglass-104
-training step over the virtual 8-device (data=4, model=2) mesh using
-abstract `ShapeDtypeStruct` arguments, so the 187.7M-param model costs
-tracing time only.
+`test_fullwidth_train_step_lowers_on_4x2_mesh` lowers -- does NOT compile or
+run -- the full-width Hourglass-104 training step over the virtual 8-device
+(data=4, model=2) mesh using abstract `ShapeDtypeStruct` arguments, so the
+187.7M-param model costs tracing time only.
+
+`test_fullwidth_train_step_executes_on_4x2_mesh` (RUN_SLOW=1, ~minutes of
+CPU compile) goes further and EXECUTES one step at the minimum spatial size
+(128^2, the max-stride floor):
+runtime-only failure modes -- collective layouts, donation aliasing under
+sharding -- are exercised at the full 187.7M parameters (VERDICT round-3
+item 4; the behavior replaced is /root/reference/train_dist.py:239's DDP).
+Run once per round: `RUN_SLOW=1 pytest tests/test_fullwidth_lowering.py -k
+executes`; wall time is recorded in BENCHMARKS.md.
 """
+import os
+import time
+
+import numpy as np
+import pytest
+
 import jax
 import jax.numpy as jnp
 
@@ -78,3 +93,72 @@ def test_fullwidth_train_step_lowers_on_4x2_mesh():
     # successful lowering is the assertion: every sharding spec was accepted
     # and the StableHLO module was built at production widths
     assert lowered.in_tree is not None
+
+
+@pytest.mark.skipif(os.environ.get('RUN_SLOW') != '1',
+                    reason='full-width compile+execute takes minutes of CPU; '
+                           'run once per round with RUN_SLOW=1')
+def test_fullwidth_train_step_executes_on_4x2_mesh():
+    """One REAL sharded step at 187.7M params (minimum 128^2 spatial input)."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(4, 2)
+
+    cfg = ModelConfig()                      # PRODUCTION widths (..., 512)
+    model = PoseNet(cfg)
+    batch, hw = 8, 128
+    out_hw = hw // 4
+    J, L = cfg.heads.n_keypoints, cfg.heads.n_limbs
+
+    rng = np.random.RandomState(0)
+    t0 = time.time()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, hw, hw, 3), jnp.float32))
+    tx = make_optimizer(TrainConfig(learning_rate=1e-4))
+    state = create_train_state(variables, tx)
+    t_init = time.time() - t0
+
+    # production shardings (same rules the train CLI applies)
+    p_shard = param_sharding(state.params, mesh)
+    state = state._replace(
+        params=jax.device_put(state.params, p_shard),
+        batch_stats=jax.device_put(state.batch_stats, replicated(mesh)),
+        opt_state=jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(
+                leaf, param_sharding(leaf, mesh)
+                if hasattr(leaf, 'ndim') else replicated(mesh)),
+            state.opt_state, is_leaf=lambda x: hasattr(x, 'ndim')),
+        step=jax.device_put(state.step, replicated(mesh)))
+
+    bsh = batch_sharding(mesh)
+    images = jax.device_put(
+        rng.randint(0, 255, (batch, hw, hw, 3)).astype(np.uint8), bsh)
+
+    def b(c, dtype=np.float32):
+        return jax.device_put(
+            rng.rand(batch, out_hw, out_hw, c).astype(dtype), bsh)
+
+    targets = Targets(hmp=b(J), bg=b(1), jomp=b(2), omp=b(2 * L),
+                      scmp=b(J), pscmp=b(2 * L))
+    mask = jax.device_put(
+        np.ones((batch, out_hw, out_hw, 1), dtype=bool), bsh)
+
+    train_step = jax.jit(make_train_step(model, tx, LossConfig()),
+                         donate_argnums=(0,))
+    t1 = time.time()
+    with mesh:
+        new_state, metrics = train_step(state, images, targets, mask)
+        total = float(metrics['total'])
+        # a second step through the SAME compiled executable exercises
+        # donation aliasing with the sharded buffers as inputs
+        new_state, metrics2 = train_step(new_state, images, targets, mask)
+        total2 = float(metrics2['total'])
+    t_run = time.time() - t1
+
+    assert np.isfinite(total) and total > 0
+    assert np.isfinite(total2)
+    assert int(new_state.step) == 2
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(new_state.params))
+    assert n_params > 180_000_000           # full width, not a narrow stand-in
+    print(f'\nfull-width sharded execute: init {t_init:.1f}s, '
+          f'compile+2 steps {t_run:.1f}s, loss {total:.4f} -> {total2:.4f}')

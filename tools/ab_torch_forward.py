@@ -1,0 +1,214 @@
+"""Composed cross-framework AP A/B (VERDICT round-3 item 1).
+
+Closes the forward half of the 0.661 acceptance gate OFFLINE: a mid-width,
+REAL-DEPTH Hourglass-104 (hg_order 5, 2 stacks) is random-initialized in
+torch (the reference's framework, models/hourglass_104.py:12-321 module
+tree), torch-saved as a reference-format `.pth`, converted with the real
+tool path, and the 100-image hard synthetic benchmark is evaluated twice
+with the SAME weights and the SAME decode:
+
+  (a) torch-replica forward -> our decode -> AP
+  (b) our (converted) forward -> our decode -> AP
+
+Reported: AP/AP50/AP75 deltas and the max per-map forward deviation over
+every image, at bf16 eval settings and fp32 as control. Pass bar from the
+verdict: |dAP| <= 0.002.
+
+Usage:
+  python tools/ab_torch_forward.py --dataset /tmp/hard_ds [--n-images 100]
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 'tests'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--dataset', default='/tmp/hard_ds')
+    ap.add_argument('--n-images', type=int, default=None)
+    ap.add_argument('--batch-size', type=int, default=4)
+    ap.add_argument('--long-edge', type=int, default=640)
+    ap.add_argument('--hg-order', type=int, default=5)
+    ap.add_argument('--dims', default='64,64,96,96,96,128')
+    ap.add_argument('--cnv-dim', type=int, default=128)
+    ap.add_argument('--seed', type=int, default=0)
+    args = ap.parse_args()
+
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    from offsetguided_tpu.config.defaults import (DecoderConfig, EvalConfig,
+                                                  ModelConfig)
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.data import transforms as T
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval.cocoeval import evaluate_coco_keypoints
+    from offsetguided_tpu.eval.harness import (poses_to_coco_results,
+                                               preprocess_eval, run_images)
+    from offsetguided_tpu.models import PoseNet, checkpoint as C
+    from offsetguided_tpu.config.defaults import SkeletonConfig
+    from test_converter_numeric import TNet, _nchw
+
+    dims = tuple(int(d) for d in args.dims.split(','))
+    ann_file = os.path.join(args.dataset, 'annotations.json')
+    image_dir = os.path.join(args.dataset, 'images')
+    coco = CocoJson(ann_file)
+    ids = coco.image_ids(with_persons=True)
+    if args.n_images:
+        ids = ids[:args.n_images]
+
+    # ---- torch-native random init, BN statistics warmed on real images ----
+    torch.manual_seed(args.seed)
+    base_cfg = ModelConfig(hg_order=args.hg_order, dims=dims,
+                           modules=(2,) * args.hg_order + (4,),
+                           cnv_dim=args.cnv_dim, compute_dtype='float32')
+    replica = TNet(base_cfg)
+    ecfg = EvalConfig(long_edge=args.long_edge, batch_size=args.batch_size)
+    sk = SkeletonConfig()
+
+    def load_preprocessed(img_id, normalize):
+        import cv2
+        info = coco.image_info(img_id)
+        img = cv2.cvtColor(cv2.imread(os.path.join(image_dir,
+                                                   info['file_name'])),
+                           cv2.COLOR_BGR2RGB)
+        fimg, _, meta = preprocess_eval(
+            img, np.zeros((0, sk.n_keypoints, 4), np.float32), ecfg,
+            sk.n_keypoints, normalize=normalize)
+        return fimg, meta
+
+    warm = np.stack([load_preprocessed(i, True)[0] for i in ids[:4]])
+    replica.train()
+    with torch.no_grad():
+        for _ in range(3):
+            replica(_nchw(warm))         # populate BN running stats
+    replica.eval()
+
+    # ---- reference-format .pth through the real conversion tool path ------
+    sd = {'module.' + k: v for k, v in replica.state_dict().items()}
+    with tempfile.NamedTemporaryFile(suffix='.pth', delete=False) as f:
+        torch.save({'epoch': 0, 'model_state_dict': sd}, f.name)
+        pth_path = f.name
+
+    results = {}
+    dev_stats = {}
+    dcfg = DecoderConfig(topk=32, thre_hmp=0.04, dist_max=40.0)
+    pp = PostProcessor(cfg=dcfg)
+
+    # ---- (a) torch forward -> our decode ----------------------------------
+    decode_jit = jax.jit(lambda p: pp._decode_body(p, False))
+
+    def torch_eval():
+        recs = []
+        batch_imgs, batch_metas, batch_ids = [], [], []
+
+        def flush():
+            if not batch_imgs:
+                return
+            x = np.stack(batch_imgs)
+            with torch.no_grad():
+                t_out = replica(_nchw(x))
+            # decode reads feat_stage=-1: ship the LAST stack's maps
+            preds = {k: [jnp.asarray(np.transpose(np.asarray(v[-1]),
+                                                  (0, 2, 3, 1)))]
+                     for k, v in t_out.items() if v}
+            preds['spread'] = [None]
+            preds['bg'] = [None]
+            poses, _, counts = decode_jit(preds)
+            poses = np.asarray(poses)
+            counts = np.asarray(counts)
+            for i, (meta, bid) in enumerate(zip(batch_metas, batch_ids)):
+                inv = T.annotations_inverse(poses[i][:int(counts[i])], meta)
+                recs.extend(poses_to_coco_results(inv, bid))
+            batch_imgs.clear(), batch_metas.clear(), batch_ids.clear()
+
+        for img_id in ids:
+            fimg, meta = load_preprocessed(img_id, True)
+            batch_imgs.append(fimg)
+            batch_metas.append(meta)
+            batch_ids.append(img_id)
+            if len(batch_imgs) == args.batch_size:
+                flush()
+        flush()
+        return recs
+
+    recs_a = torch_eval()
+    results['torch_fwd'] = evaluate_coco_keypoints(coco, recs_a, sk.sigmas)
+    print('torch forward -> our decode:',
+          json.dumps({k: round(v, 4) for k, v in results['torch_fwd'].items()
+                      if k.startswith('AP')}))
+
+    def record_set(recs):
+        # records round coords to 2 decimals already; a frozenset per image
+        # gives an exact composed-pipeline agreement measure even when the
+        # random-weight AP is degenerate
+        by_img = {}
+        for r in recs:
+            by_img.setdefault(r['image_id'], set()).add(
+                (tuple(np.round(r['keypoints'], 2)),
+                 round(r['score'], 4)))
+        return by_img
+
+    # ---- (b) our converted forward -> same decode (fp32 + bf16) -----------
+    for dtype in ('float32', 'bfloat16'):
+        cfg = ModelConfig(hg_order=args.hg_order, dims=dims,
+                          modules=(2,) * args.hg_order + (4,),
+                          cnv_dim=args.cnv_dim, compute_dtype=dtype)
+        model = PoseNet(cfg)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 128, 128, 3)), train=False)
+        variables, missing = C.load_torch_checkpoint(pth_path, variables, cfg)
+        assert not missing, missing[:8]
+
+        recs_b = run_images(model, variables, pp, coco, image_dir, ecfg,
+                            n_images=len(ids), skeleton=sk)
+        results[f'ours_{dtype}'] = evaluate_coco_keypoints(
+            coco, recs_b, sk.sigmas)
+        print(f'our {dtype} forward -> same decode:',
+              json.dumps({k: round(v, 4)
+                          for k, v in results[f'ours_{dtype}'].items()
+                          if k.startswith('AP')}))
+
+        # composed pipeline agreement: identical per-image detection sets
+        sa, sb = record_set(recs_a), record_set(recs_b)
+        agree = sum(1 for i in ids if sa.get(i, set()) == sb.get(i, set()))
+        dev_stats[f'identical_record_sets_{dtype}'] = f'{agree}/{len(ids)}'
+        print(f'  identical per-image record sets vs torch ({dtype}): '
+              f'{agree}/{len(ids)}')
+
+        # max per-map forward deviation (first 16 images suffice: the
+        # deviation is an accumulation property, not a scene property)
+        max_dev = {k: 0.0 for k in ('hmp', 'jomp', 'omp', 'scmp')}
+        for i0 in range(0, min(len(ids), 16), args.batch_size):
+            chunk = ids[i0:i0 + args.batch_size]
+            x = np.stack([load_preprocessed(i, True)[0] for i in chunk])
+            with torch.no_grad():
+                t_out = replica(_nchw(x))
+            j_out = model.apply(variables, jnp.asarray(x), train=False)
+            for k in max_dev:
+                ref = np.transpose(np.asarray(t_out[k][-1]), (0, 2, 3, 1))
+                ours = np.asarray(j_out[k][-1], dtype=np.float32)
+                max_dev[k] = max(max_dev[k],
+                                 float(np.max(np.abs(ours - ref))))
+        dev_stats[dtype] = max_dev
+        print(f'  max per-map deviation ({dtype}):',
+              json.dumps({k: round(v, 6) for k, v in max_dev.items()}))
+
+    for dtype in ('float32', 'bfloat16'):
+        d_ap = results[f'ours_{dtype}']['AP'] - results['torch_fwd']['AP']
+        print(f'DELTA AP ({dtype} vs torch): {d_ap:+.4f}  '
+              f'(pass bar |dAP| <= 0.002)')
+    print(json.dumps({'results': results, 'max_dev': dev_stats}))
+
+
+if __name__ == '__main__':
+    main()
