@@ -297,34 +297,42 @@ def sample_limb_maps(maps: jax.Array, channels, xs: jax.Array, ys: jax.Array,
     # EVERY sample in the row (matmul touches all cells), so the maps are
     # sanitized for the value contraction and the poisoning is re-applied
     # from a 0/1 tap-footprint contraction over the non-finite mask.
-    # Value and mask contractions are STACKED along a leading g-axis into one
-    # batched matmul each -- half the dispatches of the former separate pairs
-    # (the decode glue is op-issue-bound, ~330 ops measured at 640^2/batch-8).
+    # Operand diet matters more than dispatch count here: stacking the val
+    # and mask operands into one batched einsum was measured SLOWER (the
+    # stack materializes 124 MB for the off map); per-limb channel takes
+    # that select every channel in order are skipped entirely (free views).
     finite = jnp.isfinite(maps)
     maps_c = jnp.where(finite, maps, 0.0)
     nf = (~finite).astype(Wy.dtype)
-    Wg = jnp.stack([Wy, Hy])                               # (2, N, L, K, h)
-    Xg = jnp.stack([Wx, Hx])                               # (2, N, L, K, w)
 
     if channels is not None:
         ch = np.asarray(channels, dtype=np.int32)
         V = 1 if ch.ndim == 1 else ch.shape[1]
-        chf = jnp.asarray(ch.reshape(-1))
-        M = jnp.take(maps_c, chf, axis=-1).reshape(n, h, w, L, V)
-        Mnf = jnp.take(nf, chf, axis=-1).reshape(n, h, w, L, V)
-        Mg = jnp.stack([M, Mnf])                           # (2, N, h, w, L, V)
-        tmp = jnp.einsum('gnlkh,gnhwlv->gnlkwv', Wg, Mg, precision='highest')
-        out2 = jnp.einsum('gnlkwv,gnlkw->gnlkv', tmp, Xg, precision='highest')
-        val, hits = out2[0], out2[1]
+        C_all = maps.shape[-1]
+        if ch.size == C_all and np.array_equal(ch.reshape(-1),
+                                               np.arange(C_all)):
+            M = maps_c.reshape(n, h, w, L, V)              # identity take
+            Mnf = nf.reshape(n, h, w, L, V)
+        else:
+            chf = jnp.asarray(ch.reshape(-1))
+            M = jnp.take(maps_c, chf, axis=-1).reshape(n, h, w, L, V)
+            Mnf = jnp.take(nf, chf, axis=-1).reshape(n, h, w, L, V)
+        tmp = jnp.einsum('nlkh,nhwlv->nlkwv', Wy, M, precision='highest')
+        val = jnp.einsum('nlkwv,nlkw->nlkv', tmp, Wx, precision='highest')
+        t1 = jnp.einsum('nlkh,nhwlv->nlkwv', Hy, Mnf, precision='highest')
+        hits = jnp.einsum('nlkwv,nlkw->nlkv', t1, Hx, precision='highest')
         return jnp.where(hits > 0, jnp.inf, val)           # (N, L, K, V)
 
     C_sel = maps.shape[-1]
-    Wg2 = Wg.reshape(2, n, L * k, h)
-    Xg2 = Xg.reshape(2, n, L * k, w)
-    Mg = jnp.stack([maps_c, nf])                           # (2, N, h, w, C)
-    tmp = jnp.einsum('gnph,gnhwc->gnpwc', Wg2, Mg, precision='highest')
-    out2 = jnp.einsum('gnpw,gnpwc->gnpc', Xg2, tmp, precision='highest')
-    out = jnp.where(out2[1] > 0, jnp.inf, out2[0])
+    Wy2 = Wy.reshape(n, L * k, h)
+    Wx2 = Wx.reshape(n, L * k, w)
+    tmp = jnp.einsum('nph,nhwc->npwc', Wy2, maps_c, precision='highest')
+    val = jnp.einsum('npw,npwc->npc', Wx2, tmp, precision='highest')
+    t1 = jnp.einsum('nph,nhwc->npwc', Hy.reshape(n, L * k, h), nf,
+                    precision='highest')
+    touched = jnp.einsum('npw,npwc->npc', Hx.reshape(n, L * k, w), t1,
+                         precision='highest') > 0
+    out = jnp.where(touched, jnp.inf, val)
     return out.reshape(n, L, k, C_sel)
 
 
@@ -368,6 +376,7 @@ def collect_limbs(
     jomps: Optional[jax.Array] = None,
     scmps: Optional[jax.Array] = None,
     resize_factor: float = 1.0,
+    pallas_interpret: bool = False,
 ) -> Limbs:
     """Pair candidate keypoints into limbs guided by offset vectors.
 
@@ -388,7 +397,22 @@ def collect_limbs(
     jf = jnp.asarray(jtypes_f, dtype=jnp.int32)
     jt = jnp.asarray(jtypes_t, dtype=jnp.int32)
 
-    scores, inds, ys, xs = joint_dets(hmps, k, cfg.nms_kernel)  # (N, C, K)
+    use_pallas = (cfg.pallas_grouping == 'on'
+                  or (cfg.pallas_grouping == 'auto'
+                      and jax.default_backend() == 'tpu'))
+    if (use_pallas or pallas_interpret) and cfg.nms_kernel == 3:
+        # fused NMS + iterative top-k, one VMEM pass per channel map; exact
+        # vs lax.top_k(hmp_nms(x)) incl. tie order (lowest index first).
+        # `lax.top_k` is a full O(HW log HW) sort per channel on TPU -- the
+        # dominant decode cost of the stride-resolution path before this.
+        from .pallas.nms_topk_pallas import nms_topk_pallas
+        bt = hmps.transpose(0, 3, 1, 2).reshape(n * c, h, w)
+        vals, flat = nms_topk_pallas(bt, k, interpret=pallas_interpret)
+        scores = vals.reshape(n, c, k)
+        inds = flat.reshape(n, c, k)
+        ys, xs = inds // w, inds % w
+    else:
+        scores, inds, ys, xs = joint_dets(hmps, k, cfg.nms_kernel)  # (N,C,K)
 
     def channel_dets(jtypes):
         # (N, C, K) -> (N, L, K); low-response candidates pushed off-image
@@ -451,12 +475,14 @@ def collect_limbs(
 
     # dense pairing: (N, L, K, M) distance, min over end candidates M; for
     # V=4 the target also repeats, so the metric is |[g1;g2] - [t;t]|
-    # (reference collect.py:171-177)
-    dist = jnp.linalg.norm(
-        guid_t[:, :, :, None, :]
-        - jnp.tile(xys_t, (1, 1, 1, V // 2))[:, :, None, :, :], axis=-1)
-    min_dist = jnp.min(dist, axis=-1)
-    min_ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    # (reference collect.py:171-177). Work in SQUARED distance -- min and
+    # sqrt commute exactly (sqrt is monotone and correctly rounded), so only
+    # the K minima need the sqrt, not the K*M matrix
+    diff = (guid_t[:, :, :, None, :]
+            - jnp.tile(xys_t, (1, 1, 1, V // 2))[:, :, None, :, :])
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    min_dist = jnp.sqrt(jnp.min(dist2, axis=-1))
+    min_ind = jnp.argmin(dist2, axis=-1).astype(jnp.int32)
 
     take = lambda v: jnp.take_along_axis(v, min_ind, axis=-1)
     matched_score_t = take(scores_t)
@@ -635,12 +661,14 @@ def _collect_from_peaks(scores, inds, ys, xs, h, w, offs4, jtypes_f,
             pairs.append(jnp.where(ok[..., None], g + jit, g))
         guid_t = jnp.concatenate(pairs, axis=-1)
 
-    # V=4: the pairing metric is |[g1;g2] - [t;t]| (collect.py:171-177)
-    dist = jnp.linalg.norm(
-        guid_t[:, :, :, None, :]
-        - jnp.tile(xys_t, (1, 1, 1, V // 2))[:, :, None, :, :], axis=-1)
-    min_dist = jnp.min(dist, axis=-1)
-    min_ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+    # V=4: the pairing metric is |[g1;g2] - [t;t]| (collect.py:171-177).
+    # Squared distance: min/argmin commute with the (monotone, correctly
+    # rounded) sqrt, so only the K minima are rooted, not the K*M matrix
+    diff = (guid_t[:, :, :, None, :]
+            - jnp.tile(xys_t, (1, 1, 1, V // 2))[:, :, None, :, :])
+    dist2 = jnp.sum(diff * diff, axis=-1)
+    min_dist = jnp.sqrt(jnp.min(dist2, axis=-1))
+    min_ind = jnp.argmin(dist2, axis=-1).astype(jnp.int32)
 
     take = lambda v: jnp.take_along_axis(v, min_ind, axis=-1)
     matched_score_t = take(scores_t)

@@ -178,6 +178,27 @@ def test_collect_fused_matches_sampled(rng):
     np.testing.assert_allclose(g, a, rtol=2e-4, atol=2e-4)
 
 
+def test_collect_limbs_pallas_topk_matches_plain(rng):
+    """collect_limbs with the fused NMS+top-k Pallas path (interpret mode)
+    == the plain joint_dets path, end to end through pairing."""
+    n, h, w, c = 2, 20, 24, 17
+    jf, jt = skeleton_from_arrays(COCO_PERSON_SKELETON)
+    L = len(jf)
+    cfg = DecoderConfig(topk=8, thre_hmp=0.08, pallas_grouping='off')
+    hmp = rng.rand(n, h, w, c).astype(np.float32)
+    offs = (rng.randn(n, h, w, 2 * L) * 3).astype(np.float32)
+    scmps = (rng.rand(n, h, w, c) * 8).astype(np.float32)
+
+    plain = dec.collect_limbs(jnp.asarray(hmp), jnp.asarray(offs), jf, jt,
+                              cfg, scmps=jnp.asarray(scmps))
+    fused = dec.collect_limbs(jnp.asarray(hmp), jnp.asarray(offs), jf, jt,
+                              cfg, scmps=jnp.asarray(scmps),
+                              pallas_interpret=True)
+    a = np.asarray(dec.pack_limbs(plain))
+    b = np.asarray(dec.pack_limbs(fused))
+    np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-6)
+
+
 def test_sample_impls_agree_including_sentinels(rng):
     """'gather' (one fused take_along_axis) and 'dense' (MXU contraction)
     sampling must agree bit-for-bit-ish on finite values AND poison the same
