@@ -90,6 +90,10 @@ def main(argv=None):
     p.add_argument('--device-aug', action='store_true',
                    help='train through the device-side augmentation path '
                         '(ops/augment.py) instead of host cv2')
+    p.add_argument('--opt-state-dtype', default='float32',
+                   choices=['float32', 'bfloat16'],
+                   help='Adam moment-state dtype (convergence-parity gate '
+                        'for the bf16 optimizer-state option)')
     args = p.parse_args(argv)
 
     import jax
@@ -131,7 +135,8 @@ def main(argv=None):
                            train=False)
     loss_cfg = LossConfig(stack_weights=(1.0,), fgamma=2.0,
                           lambdas=(1.0, 0.1, 100.0, 300.0, 1.0))
-    tx = make_optimizer(TrainConfig(learning_rate=2e-3))
+    tx = make_optimizer(TrainConfig(learning_rate=2e-3,
+                                    opt_state_dtype=args.opt_state_dtype))
     state = create_train_state(variables, tx)
     step = jit_train_step(model, tx, loss_cfg)
     sig = np.asarray(COCO_PERSON_SIGMAS)

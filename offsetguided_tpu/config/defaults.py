@@ -219,6 +219,12 @@ class TrainConfig:
     learning_rate: float = 1.25e-4    # scaled by data-parallel world size
     momentum: float = 0.9
     weight_decay: float = 0.0
+    # Adam moment-state dtype: 'float32' (default) or 'bfloat16'. bf16
+    # moments halve the optimizer's HBM footprint AND its per-step update
+    # traffic (measured at its bandwidth floor, BENCHMARKS.md); moments are
+    # round-tripped through fp32 inside the update so only storage loses
+    # precision. Convergence parity gated by selfcheck AP before use.
+    opt_state_dtype: str = 'float32'
     warmup_epochs: int = 0
     lr_drop_epochs: Sequence[int] = (60, 78, 92, 105)
     lr_drop_factor: float = 0.2

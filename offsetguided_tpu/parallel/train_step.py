@@ -28,10 +28,61 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.999,
+                        eps: float = 1e-8,
+                        state_dtype=jnp.bfloat16) -> optax.GradientTransformation:
+    """Adam moment update with the m/v state STORED in `state_dtype`.
+
+    The update itself runs in fp32 (moments are upcast, new moments are
+    computed, the step is taken, then both are cast back down), so the only
+    precision loss is the storage rounding of m and v between steps. At
+    Hourglass-104 scale the fp32 moments are 2x187.7M x 4 B = 1.5 GB of HBM
+    and the optimizer's measured per-step traffic sits at its bandwidth
+    floor (BENCHMARKS.md) -- bf16 halves both. Uses optax's ScaleByAdamState
+    so checkpoints keep the standard adam state tree structure.
+    """
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=state_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        cf = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** cf
+        bc2 = 1.0 - b2 ** cf
+
+        def step(g, m, v):
+            g32 = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g32
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * g32 * g32
+            upd = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            return upd.astype(g.dtype), m32.astype(state_dtype), \
+                v32.astype(state_dtype)
+
+        out = jax.tree_util.tree_map(step, updates, state.mu, state.nu)
+        leaf = lambda t: isinstance(t, tuple)
+        pick = lambda i: jax.tree_util.tree_map(lambda t: t[i], out,
+                                                is_leaf=leaf)
+        return pick(0), optax.ScaleByAdamState(count=count, mu=pick(1),
+                                               nu=pick(2))
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
     lr = lr_schedule if lr_schedule is not None else cfg.learning_rate
     if cfg.optimizer == 'adam':
-        tx = optax.adam(lr)
+        state_dtype = getattr(cfg, 'opt_state_dtype', 'float32')
+        if state_dtype != 'float32':
+            tx = optax.chain(
+                _scale_by_adam_lowp(state_dtype=jnp.dtype(state_dtype)),
+                optax.scale_by_learning_rate(lr))
+        else:
+            tx = optax.adam(lr)
     elif cfg.optimizer == 'sgd':
         tx = optax.sgd(lr, momentum=cfg.momentum)
     else:

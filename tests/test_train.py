@@ -150,3 +150,54 @@ def test_donated_train_step(rng):
         state, metrics = step(state, images, targets, mask)
     assert np.isfinite(float(metrics['total']))
     assert int(state.step) == 3
+
+
+def test_lowp_adam_fp32_state_matches_optax_adam(rng):
+    """_scale_by_adam_lowp with float32 state == optax.adam step for step:
+    the reformulated fp32-roundtrip update must not change the math."""
+    import optax
+    from offsetguided_tpu.parallel.train_step import _scale_by_adam_lowp
+
+    params = {'a': jnp.asarray(rng.randn(4, 3), jnp.float32),
+              'b': jnp.asarray(rng.randn(7), jnp.float32)}
+    ref = optax.adam(1e-3)
+    got = optax.chain(_scale_by_adam_lowp(state_dtype=jnp.float32),
+                      optax.scale_by_learning_rate(1e-3))
+    s_ref, s_got = ref.init(params), got.init(params)
+    p_ref, p_got = params, params
+    for i in range(5):
+        g = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params)
+        u_ref, s_ref = ref.update(g, s_ref, p_ref)
+        u_got, s_got = got.update(g, s_got, p_got)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_got = optax.apply_updates(p_got, u_got)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_got)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_bf16_opt_state_trains(rng):
+    """opt_state_dtype='bfloat16' stores bf16 moments, halving optimizer
+    HBM, and the loss still decreases on a fixed batch."""
+    from offsetguided_tpu.parallel import make_train_step
+
+    cfg, model = tiny_model()
+    images, targets, mask = synth_batch(rng)
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+    loss_cfg = LossConfig(stack_weights=(1.0,), fgamma=2.0)
+    tx = make_optimizer(TrainConfig(learning_rate=3e-4,
+                                    opt_state_dtype='bfloat16'))
+    state = create_train_state(variables, tx)
+    mu_leaves = jax.tree_util.tree_leaves(state.opt_state[0].mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    step = jax.jit(make_train_step(model, tx, loss_cfg))
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, images, targets, mask)
+        losses.append(float(metrics['total']))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+    nu_leaves = jax.tree_util.tree_leaves(state.opt_state[0].nu)
+    assert all(l.dtype == jnp.bfloat16 for l in nu_leaves)
