@@ -74,6 +74,11 @@ def cli(argv=None):
 
     g = p.add_argument_group('optimization')
     g.add_argument('--optimizer', default='adam', choices=['adam', 'sgd'])
+    g.add_argument('--opt-state-dtype', default='float32',
+                   choices=['float32', 'bfloat16'],
+                   help='Adam moment-state storage dtype; bfloat16 halves '
+                        'the optimizer HBM footprint and per-step traffic '
+                        '(update math stays fp32)')
     g.add_argument('--lr', type=float, default=1.25e-4)
     g.add_argument('--momentum', type=float, default=0.9)
     g.add_argument('--weight-decay', type=float, default=0.0)
@@ -206,6 +211,7 @@ def main(argv=None):
                        else (1.0,) * args.n_stacks))
     n_dev = jax.device_count()
     train_cfg = TrainConfig(optimizer=args.optimizer,
+                            opt_state_dtype=args.opt_state_dtype,
                             learning_rate=args.lr * n_dev,
                             momentum=args.momentum,
                             weight_decay=args.weight_decay,
@@ -366,13 +372,24 @@ def main(argv=None):
     # finally: drain the in-flight async checkpoint write on EVERY exit —
     # clean end, max-steps return, exception, or KeyboardInterrupt — so a
     # failed background write surfaces here instead of being lost
+    host_wait = 0.0     # blocked on the loader (JPEG decode, mask render)
+    feed_time = 0.0     # host->device put + aug/encode program dispatch
     try:
         with mesh:
-            for batch in batch_iterator(dataset, args.batch_size,
-                                        seed=args.seed,
-                                        epochs=args.epochs - start_epoch,
-                                        num_workers=args.loader_workers):
+            it = iter(batch_iterator(dataset, args.batch_size,
+                                     seed=args.seed,
+                                     epochs=args.epochs - start_epoch,
+                                     num_workers=args.loader_workers))
+            while True:
+                t0 = time.perf_counter()
+                batch = next(it, None)
+                if batch is None:
+                    break
+                t1 = time.perf_counter()
                 images, targets, mask = device_batch(batch)
+                t2 = time.perf_counter()
+                host_wait += t1 - t0
+                feed_time += t2 - t1
                 state, metrics = train_step(state, images, targets, mask)
                 step += 1
                 if args.max_steps is not None and step >= args.max_steps:
@@ -386,7 +403,10 @@ def main(argv=None):
                     meter.update(m['total'])
                     log_record(logger, 'train', type='train', epoch=epoch,
                                step=step, loss=m['total'], head_losses=m,
-                               imgs_per_sec=round(tput.rate, 2))
+                               imgs_per_sec=round(tput.rate, 2),
+                               host_wait_s=round(host_wait, 2),
+                               feed_s=round(feed_time, 2))
+                    host_wait = feed_time = 0.0
                 if step % steps_per_epoch == 0:
                     epoch += 1
                     if val_dataset is not None:
