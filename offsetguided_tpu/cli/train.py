@@ -315,34 +315,54 @@ def main(argv=None):
                                     train_loss, blocking=False)
         return path if jax.process_index() == 0 else None
 
-    @jax.jit
-    def _encode(anns, mask_in):
-        # one jitted program instead of per-op eager dispatch (the scan over
-        # persons alone is hundreds of dispatches per batch otherwise)
-        targets = encode_targets(anns, sigmas, skeleton.skeleton,
-                                 out_hw, out_hw, enc_cfg)
-        return targets, downscale_mask(mask_in, enc_cfg)
+    # Single-transfer feed: pack every per-sample host array into ONE
+    # uint8[B, row_bytes] buffer -> one put per step -> unpack inside the
+    # jitted aug/encode program. The per-put fixed cost dominates on
+    # remote/tunneled devices (~290 ms x 9 arrays for device-aug, measured;
+    # BENCHMARKS.md round 4) and the packed buffer keeps the batch dim, so
+    # the multi-process sharded put() is unchanged.
+    from offsetguided_tpu.parallel.feed import (build_feed_spec,
+                                                pack_host_batch,
+                                                unpack_device_batch)
+    _feed = {}   # spec + compiled consumer, built from the first batch
 
-    @jax.jit
-    def _aug_encode(dev_batch):
-        # device augmentation (ops/augment.py) + GT encoding, one program
-        from offsetguided_tpu.ops.augment import augment_batch_dict
-        imgs, mask01, anns2 = augment_batch_dict(
-            dev_batch, args.square_length,
-            dataset.left_index, dataset.right_index)
-        targets = encode_targets(anns2, sigmas, skeleton.skeleton,
-                                 out_hw, out_hw, enc_cfg)
-        return imgs, targets, downscale_mask(mask01, enc_cfg)
+    def _packed_fn(batch, kind):
+        if kind not in _feed:
+            spec = build_feed_spec(batch, exclude=('metas', 'epoch'))
+
+            if kind == 'device_aug':
+                @jax.jit
+                def fn(flat):
+                    # device augmentation (ops/augment.py) + GT encoding,
+                    # one program (per-op eager dispatch would be hundreds
+                    # of dispatches per batch)
+                    from offsetguided_tpu.ops.augment import augment_batch_dict
+                    dev = unpack_device_batch(flat, spec)
+                    imgs, mask01, anns2 = augment_batch_dict(
+                        dev, args.square_length,
+                        dataset.left_index, dataset.right_index)
+                    targets = encode_targets(anns2, sigmas, skeleton.skeleton,
+                                             out_hw, out_hw, enc_cfg)
+                    return imgs, targets, downscale_mask(mask01, enc_cfg)
+            else:
+                @jax.jit
+                def fn(flat):
+                    dev = unpack_device_batch(flat, spec)
+                    targets = encode_targets(dev['anns'], sigmas,
+                                             skeleton.skeleton,
+                                             out_hw, out_hw, enc_cfg)
+                    # images stay uint8; normalized in-step
+                    return (dev['image'], targets,
+                            downscale_mask(dev['mask_miss'], enc_cfg))
+            _feed[kind] = (spec, fn)
+        return _feed[kind]
 
     def device_batch(batch):
-        if 'aug_mat' in batch:                # device-aug raw batch
-            return _aug_encode({k: put(v) for k, v in batch.items()
-                                if k not in ('metas', 'epoch')})
-        images = put(batch['image'])          # uint8; normalized in-step
-        anns = put(batch['anns'])
-        mask_in = put(batch['mask_miss'])
-        targets, mask = _encode(anns, mask_in)
-        return images, targets, mask
+        kind = 'device_aug' if 'aug_mat' in batch else 'host_aug'
+        if kind == 'host_aug':
+            batch = {k: batch[k] for k in ('image', 'anns', 'mask_miss')}
+        spec, fn = _packed_fn(batch, kind)
+        return fn(put(pack_host_batch(batch, spec)))
 
     # optional validation-loss pass per epoch (reference test(),
     # train_dist.py:390-455)

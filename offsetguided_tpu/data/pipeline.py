@@ -306,17 +306,20 @@ class _ShmSlots:
     def attach(self, names):
         from multiprocessing import shared_memory
         from multiprocessing import resource_tracker
-        self._segs = []
-        for name in names:
-            seg = shared_memory.SharedMemory(name=name)
-            # py<3.13 registers attachments with the resource tracker, which
-            # then unlinks the parent's segment when this worker exits
-            # (bpo-39959); the parent owns cleanup, so unregister here
-            try:
-                resource_tracker.unregister(seg._name, 'shared_memory')
-            except Exception:
-                pass
-            self._segs.append(seg)
+        # py<3.13 registers attachments with the resource tracker too
+        # (bpo-39959), and spawn children share the PARENT's tracker process:
+        # registering here is a no-op on the shared set, but unregistering
+        # after the fact removes the PARENT's registration, so the parent's
+        # own unlink() later hits a KeyError inside the tracker. Suppress the
+        # registration instead of undoing it. (3.13+ has track=False.)
+        orig = resource_tracker.register
+        resource_tracker.register = (
+            lambda name, rtype: None if rtype == 'shared_memory'
+            else orig(name, rtype))
+        try:
+            self._segs = [shared_memory.SharedMemory(name=n) for n in names]
+        finally:
+            resource_tracker.register = orig
 
     def views(self, slot):
         buf = self._segs[slot].buf
