@@ -42,23 +42,19 @@ def _cubic_w(d: jax.Array) -> jax.Array:
                   0.0))
 
 
-def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
-                  out_hw: Tuple[int, int], border_value,
-                  valid_hw: jax.Array | None = None) -> jax.Array:
-    """Batched bicubic affine sampling (cv2.warpAffine INTER_CUBIC +
-    BORDER_CONSTANT equivalent).
+def _affine_sample_taps(images: jax.Array, mats_dst2src: jax.Array,
+                        out_hw: Tuple[int, int], border_value,
+                        valid_hw: jax.Array) -> jax.Array:
+    """16 separate 1x1xC-slice gathers (one per bicubic tap).
 
-    images: (N, H, W, C) uint8 or float; mats_dst2src: (N, 2, 3) mapping
-    OUTPUT pixel coords to source coords (cv2 warps with the inverse of the
-    forward matrix; invert on the host). border_value: scalar or (C,).
-    valid_hw: (N, 2) int — actual (h, w) of each sample inside the fixed
-    canvas; taps outside it read the border constant, so right/down padding
-    in the raw canvas is invisible.
+    Reference formulation kept as the small-image fallback and the
+    differential oracle for the patch-gather path below: on TPU each
+    scalar-slice gather wastes the 128-wide lane dim on C<=4 channels
+    (measured 481 ms for a 16x640->512 batch), so `affine_sample` gathers
+    whole 4x4 patches instead.
     """
     n, h, w, c = images.shape
     oh, ow = out_hw
-    if valid_hw is None:
-        valid_hw = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (n, 1))
     vh = valid_hw[:, 0].astype(jnp.float32)[:, None, None]
     vw = valid_hw[:, 1].astype(jnp.float32)[:, None, None]
 
@@ -99,6 +95,89 @@ def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
                 n, oh, ow, c).astype(jnp.float32)
             out = out + wgt * jnp.where(inb, val, border)
     return out
+
+
+def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
+                  out_hw: Tuple[int, int], border_value,
+                  valid_hw: jax.Array | None = None,
+                  row_chunk: int = 64) -> jax.Array:
+    """Batched bicubic affine sampling (cv2.warpAffine INTER_CUBIC +
+    BORDER_CONSTANT equivalent).
+
+    images: (N, H, W, C) uint8 or float; mats_dst2src: (N, 2, 3) mapping
+    OUTPUT pixel coords to source coords (cv2 warps with the inverse of the
+    forward matrix; invert on the host). border_value: scalar or (C,).
+    valid_hw: (N, 2) int — actual (h, w) of each sample inside the fixed
+    canvas; taps outside it read the border constant, so right/down padding
+    in the raw canvas is invisible.
+
+    TPU formulation: ONE `lax.gather` of 4x4xC patches per output chunk
+    (instead of 16 scalar-slice gathers, which pay the per-position gather
+    cost 16x and waste the lane dim on C<=4 channels), then the separable
+    bicubic weights applied as an einsum over the patch. Per-tap weights are
+    recomputed from the CLIPPED patch's actual row/col indices, so border
+    clipping keeps cv2's exact border-constant semantics: footprint taps
+    outside the image always land outside valid_hw and get weight 0, with
+    the border color absorbing `1 - sum(valid weights)` (the Keys cubic
+    kernel is a partition of unity). Output rows are processed in
+    `row_chunk` slabs under `lax.scan` to bound the patch tensor.
+    ~1.8x over the tap loop on v5e at train shapes (BENCHMARKS.md round 4).
+    """
+    n, h, w, c = images.shape
+    oh, ow = out_hw
+    if valid_hw is None:
+        valid_hw = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (n, 1))
+    if h < 4 or w < 4:   # gather slice (4,4) would exceed the operand
+        return _affine_sample_taps(images, mats_dst2src, out_hw,
+                                   border_value, valid_hw)
+
+    vh = valid_hw[:, 0].astype(jnp.float32)[:, None, None]
+    vw = valid_hw[:, 1].astype(jnp.float32)[:, None, None]
+    m = mats_dst2src.astype(jnp.float32)
+    border = jnp.asarray(border_value, jnp.float32).reshape(1, 1, -1)
+    border = jnp.broadcast_to(border, (1, 1, c))
+
+    chunk = min(row_chunk, oh)
+    n_chunks = -(-oh // chunk)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    taps = jnp.arange(4, dtype=jnp.float32)
+
+    def one_chunk(_, y_start):
+        ys, xs = jnp.mgrid[0:chunk, 0:ow]
+        ys = ys.astype(jnp.float32)[None] + y_start
+        xs = xs.astype(jnp.float32)[None]
+        sx = (m[:, 0, 0, None, None] * xs + m[:, 0, 1, None, None] * ys
+              + m[:, 0, 2, None, None]).reshape(n, -1)
+        sy = (m[:, 1, 0, None, None] * xs + m[:, 1, 1, None, None] * ys
+              + m[:, 1, 2, None, None]).reshape(n, -1)
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        sy0 = jnp.clip(y0 - 1.0, 0.0, float(h - 4))
+        sx0 = jnp.clip(x0 - 1.0, 0.0, float(w - 4))
+        starts = jnp.stack([sy0, sx0], axis=-1).astype(jnp.int32)  # [n,P,2]
+        # actual row/col index of each patch tap; weights from true distance
+        ry = sy0[:, :, None] + taps                                # [n,P,4]
+        rx = sx0[:, :, None] + taps
+        wy = _cubic_w(sy[:, :, None] - ry) * ((ry >= 0) & (ry < vh))
+        wx = _cubic_w(sx[:, :, None] - rx) * ((rx >= 0) & (rx < vw))
+
+        def g(im, st):
+            return jax.lax.gather(im, st, dnums, slice_sizes=(4, 4, c))
+
+        patches = jax.vmap(g)(images, starts)                      # [n,P,4,4,c]
+        val = jnp.einsum('npabc,npa,npb->npc',
+                         patches.astype(jnp.float32), wy, wx)
+        covered = wy.sum(-1) * wx.sum(-1)
+        out = val + border * (1.0 - covered)[..., None]
+        return _, out.reshape(n, chunk, ow, c)
+
+    _, chunks = jax.lax.scan(
+        one_chunk, None,
+        jnp.arange(n_chunks, dtype=jnp.float32) * chunk)
+    out = chunks.transpose(1, 0, 2, 3, 4).reshape(n, n_chunks * chunk, ow, c)
+    return out[:, :oh]
 
 
 def transform_annotations(anns: jax.Array, mats: jax.Array,
@@ -212,15 +291,19 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
     """
     from ..data.transforms import PAD_RGB
 
-    imgs = affine_sample(raw_images, mats_inv, (out_size, out_size),
-                         jnp.asarray(PAD_RGB, jnp.float32), valid_hw)
-    imgs = photometric(imgs, grays, tints)
+    # ONE 4-channel warp for RGB + mask_miss: the two warps share every
+    # coordinate/weight/gather (the gather cost is per-position, not
+    # per-channel — packing halved the measured warp time, BENCHMARKS.md
+    # round 4); border is PAD_RGB for the image channels, 255 for the mask
+    packed = jnp.concatenate(
+        [raw_images, raw_masks[..., None].astype(raw_images.dtype)], axis=-1)
+    border = jnp.asarray(tuple(PAD_RGB) + (255.0,), jnp.float32)
+    warped = affine_sample(packed, mats_inv, (out_size, out_size), border,
+                           valid_hw)
+    imgs = photometric(warped[..., :3], grays, tints)
     # cv2 saturates + rounds to uint8 at every stage; one final quantization
     imgs = jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.uint8)
-
-    mask = affine_sample(raw_masks[..., None].astype(jnp.float32),
-                         mats_inv, (out_size, out_size), 255.0, valid_hw)
-    mask = jnp.clip(mask[..., 0] / 255.0, 0.0, 1.0)
+    mask = jnp.clip(warped[..., 3] / 255.0, 0.0, 1.0)
 
     anns = transform_annotations(anns, mats, scale_xy, flips,
                                  left_index, right_index, out_size)

@@ -52,6 +52,36 @@ def test_affine_sample_matches_cv2(rng):
         assert np.mean(diff) < 1.0, np.mean(diff)
 
 
+def test_patch_gather_matches_tap_loop_oracle(rng):
+    """The production affine_sample (one 4x4-patch gather + separable-weight
+    einsum, row-chunked) must be numerically equivalent to the 16-tap
+    reference formulation (_affine_sample_taps) everywhere — interior,
+    image borders, and valid_hw-cropped canvases with multi-channel border
+    constants."""
+    from offsetguided_tpu.ops.augment import _affine_sample_taps
+
+    h, w = 45, 57
+    images = (rng.rand(3, h, w, 4) * 255).astype(np.uint8)
+    border = jnp.asarray([124.0, 116.0, 104.0, 255.0])
+    for trial in range(4):
+        # random affine incl. strong rotation + scale so footprints cross
+        # every border; last trial pushes most samples out of bounds
+        th = rng.uniform(-0.8, 0.8)
+        s = rng.uniform(0.4, 2.2) if trial < 3 else 4.0
+        mats = np.stack([np.array(
+            [[np.cos(th) * s, -np.sin(th) * s, rng.uniform(-20, 20)],
+             [np.sin(th) * s, np.cos(th) * s, rng.uniform(-20, 20)]],
+            np.float32) for _ in range(3)])
+        valid = np.stack([[h, w], [h - 7, w - 11], [13, 9]]).astype(np.int32)
+        got = affine_sample(jnp.asarray(images), jnp.asarray(mats),
+                            (31, 50), border, jnp.asarray(valid),
+                            row_chunk=8)
+        want = _affine_sample_taps(jnp.asarray(images), jnp.asarray(mats),
+                                   (31, 50), border, jnp.asarray(valid))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=5e-3)
+
+
 def test_transform_annotations_matches_host(rng):
     h, w, dst = 80, 100, 64
     sk = SkeletonConfig()
