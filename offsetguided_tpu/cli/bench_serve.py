@@ -79,9 +79,9 @@ def cli(argv=None):
 def main(argv=None):
     args = cli(argv)
     port = free_port()
-    serve_args = [sys.executable,
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               '..', '..', 'tools', 'serve.py'),
+    # -m spawn works from both a source checkout and a pip install (a
+    # repo-relative tools/serve.py path would not exist in site-packages)
+    serve_args = [sys.executable, '-m', 'offsetguided_tpu.cli.serve',
                   '--port', str(port),
                   '--batch-size', str(args.batch_size),
                   '--batch-window-ms', str(args.batch_window_ms),
@@ -125,22 +125,29 @@ def main(argv=None):
             post(blobs[i % len(blobs)])
 
         lats = []
+        errors = []
         lock = threading.Lock()
         stop = threading.Event()
 
         def worker(wid: int):
             i = wid
             mine = []
-            while not stop.is_set():
-                try:
-                    mine.append(post(blobs[i % len(blobs)]))
-                except OSError:
-                    if stop.is_set():
-                        break
-                    raise
-                i += args.concurrency
-            with lock:
-                lats.extend(mine)
+            mine_err = 0
+            try:
+                while not stop.is_set():
+                    try:
+                        mine.append(post(blobs[i % len(blobs)]))
+                    except OSError:
+                        if stop.is_set():   # teardown race: not a failure
+                            break
+                        mine_err += 1       # count it, keep the thread alive
+                    i += args.concurrency
+            finally:
+                # always bank this thread's samples, even on an unexpected
+                # exception — silently dropping them skews QPS/percentiles
+                with lock:
+                    lats.extend(mine)
+                    errors.append(mine_err)
 
         threads = [threading.Thread(target=worker, args=(w,))
                    for w in range(args.concurrency)]
@@ -162,11 +169,17 @@ def main(argv=None):
         except subprocess.TimeoutExpired:
             proc.kill()
 
+    if not lats:
+        print(json.dumps({'error': 'no requests completed',
+                          'client_errors': sum(errors),
+                          'startup_s': round(startup_s, 1)}))
+        return 1
     lats.sort()
     pct = lambda q: round(lats[min(int(q * len(lats)), len(lats) - 1)] * 1e3, 1)
     out = {
         'qps': round(len(lats) / wall, 2),
         'requests': len(lats),
+        'client_errors': sum(errors),
         'duration_s': round(wall, 1),
         'concurrency': args.concurrency,
         'batch_size': args.batch_size,

@@ -60,10 +60,20 @@ def row_bytes(spec: FeedSpec) -> int:
 
 def pack_host_batch(batch: Dict[str, np.ndarray], spec: FeedSpec) -> np.ndarray:
     """dict of host arrays -> one `uint8[B, row_bytes]` buffer (one memcpy
-    per array; ~1 ms for a 20 MB training batch)."""
+    per array; ~1 ms for a 20 MB training batch).
+
+    Validates every array against the spec: the jitted unpacker slices at
+    the spec's STATIC offsets, so a tail-shape or dtype drift vs the batch
+    the spec was built from would silently scramble every downstream array.
+    """
     segs = []
     for k, tail, dt, off, nb in spec:
         a = np.ascontiguousarray(batch[k])
+        if a.shape[1:] != tail or a.dtype.str != dt:
+            raise ValueError(
+                f'feed spec mismatch for {k!r}: batch has '
+                f'{a.shape[1:]}/{a.dtype.str}, spec was built for '
+                f'{tail}/{dt}')
         segs.append(a.reshape(a.shape[0], -1).view(np.uint8))
     return np.concatenate(segs, axis=1)
 

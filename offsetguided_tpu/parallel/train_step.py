@@ -76,7 +76,7 @@ def _scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.999,
 def make_optimizer(cfg: TrainConfig, lr_schedule=None) -> optax.GradientTransformation:
     lr = lr_schedule if lr_schedule is not None else cfg.learning_rate
     if cfg.optimizer == 'adam':
-        state_dtype = getattr(cfg, 'opt_state_dtype', 'float32')
+        state_dtype = cfg.opt_state_dtype
         if state_dtype != 'float32':
             tx = optax.chain(
                 _scale_by_adam_lowp(state_dtype=jnp.dtype(state_dtype)),
