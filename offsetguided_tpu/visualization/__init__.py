@@ -1,5 +1,7 @@
-from .show import (KeypointPainter, canvas, image_canvas, heatmap_overlay,
-                   draw_limb_offset)
+from .show import (CrowdPainter, KeypointPainter, arrows, boxes, canvas,
+                   circles, draw_limb_offset, heatmap_overlay, image_canvas,
+                   load_image, margins, quiver, white_screen)
 
-__all__ = ["KeypointPainter", "canvas", "image_canvas", "heatmap_overlay",
-           "draw_limb_offset"]
+__all__ = ["CrowdPainter", "KeypointPainter", "arrows", "boxes", "canvas",
+           "circles", "draw_limb_offset", "heatmap_overlay", "image_canvas",
+           "load_image", "margins", "quiver", "white_screen"]

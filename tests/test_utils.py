@@ -120,3 +120,65 @@ def test_native_build_script_exists():
     import os
     assert os.path.exists('offsetguided_tpu/native/rle.cpp')
     assert os.path.exists('offsetguided_tpu/native/build.sh')
+
+
+def test_field_renderers(tmp_path):
+    """openpifpaf-style field renderers (reference show.py:305-439):
+    quiver/margins/boxes/circles gate cells by intensity threshold and
+    subsample by step; arrows keeps pairs whose weaker endpoint clears the
+    threshold; CrowdPainter shades polygon outlines; white_screen washes
+    the axes; load_image round-trips an RGB png."""
+    import matplotlib.patches
+    from offsetguided_tpu.visualization import (CrowdPainter, arrows, boxes,
+                                                canvas, circles, load_image,
+                                                margins, quiver,
+                                                white_screen)
+    rng = np.random.RandomState(0)
+    H, W = 12, 16
+    vf = rng.randn(H, W, 2).astype(np.float32)
+    intensity = np.zeros((H, W), np.float32)
+    intensity[::3, ::2] = 0.9  # 24 cells clear the 0.5 threshold at step=1
+    n_keep = int((intensity >= 0.5).sum())
+
+    with canvas(str(tmp_path / 'f.png')) as ax:
+        q = quiver(ax, vf, intensity, step=1, threshold=0.5)
+        assert q.N == n_keep
+        # step=2 keeps only cells on the even subgrid
+        q2 = quiver(ax, vf, intensity, step=2, threshold=0.5)
+        assert q2.N == int((intensity[::2, ::2] >= 0.5).sum())
+        # uncertainty circles: one per kept cell with nonzero radius
+        n_art = len(ax.patches)
+        quiver(ax, vf, intensity, reg_uncertainty=np.ones((H, W)))
+        assert len(ax.patches) - n_art == n_keep
+
+        # margins: 4 finite quadrant radii per kept cell -> 4 wedges each;
+        # non-finite radii are skipped
+        mf = np.concatenate([vf, np.full((H, W, 4), 2.0, np.float32)], -1)
+        mf[0, 0, 2] = np.inf
+        n_art = len(ax.patches)
+        margins(ax, mf, intensity, step=1, threshold=0.5)
+        n_wedges = len(ax.patches) - n_art
+        assert n_wedges == 4 * n_keep - 1  # (0,0) is a kept cell; 1 inf radius
+
+        # arrows: (2, 3, M) endpoint pairs, min-endpoint confidence gate
+        fourd = rng.rand(2, 3, 5).astype(np.float32)
+        fourd[:, 2, :] = [[0.9, 0.2, 0.8, 0.9, 0.1],
+                          [0.9, 0.9, 0.1, 0.8, 0.05]]
+        a = arrows(ax, fourd, threshold=0.5)
+        assert a.N == 2  # pairs 0 and 3
+
+        sf = np.full((H, W), 1.5, np.float32)
+        n_art = len(ax.patches)
+        boxes(ax, sf, intensity, threshold=0.5)
+        circles(ax, sf, intensity, threshold=0.5)
+        assert len(ax.patches) - n_art == 2 * n_keep
+        assert isinstance(ax.patches[-1], matplotlib.patches.Circle)
+
+        CrowdPainter().draw(ax, [np.array([[0, 0], [4, 0], [4, 4]])])
+        white_screen(ax, alpha=0.8)
+
+    import cv2
+    img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / 'im.png'), img[:, :, ::-1])
+    loaded = load_image(str(tmp_path / 'im.png'))
+    np.testing.assert_allclose(loaded, img / 255.0, atol=1e-6)
