@@ -33,6 +33,15 @@ def cli(argv=None):
     p.add_argument('--with-decode', action='store_true',
                    help='export forward + full decode instead of forward only')
     p.add_argument('--debug-tiny-model', action='store_true')
+    p.add_argument('--hg-order', type=int, default=None,
+                   help='hourglass recursion depth override (with --dims/'
+                        '--modules/--cnv-dim: narrower real-depth variants)')
+    p.add_argument('--dims', default=None,
+                   help='comma-separated per-level channel dims')
+    p.add_argument('--modules', default=None,
+                   help='comma-separated per-level residual-module counts')
+    p.add_argument('--cnv-dim', type=int, default=None)
+    p.add_argument('--n-stacks', type=int, default=None)
     return p.parse_args(argv)
 
 
@@ -59,7 +68,19 @@ def main(argv=None):
                           dims=(8, 8, 12), modules=(1, 1, 1), cnv_dim=8,
                           compute_dtype='float32')
     else:
-        cfg = ModelConfig(basenet=args.basenet)
+        width_kw = {}
+        if args.hg_order is not None:
+            width_kw['hg_order'] = args.hg_order
+        if args.dims is not None:
+            width_kw['dims'] = tuple(int(d) for d in args.dims.split(','))
+        if args.modules is not None:
+            width_kw['modules'] = tuple(int(m)
+                                        for m in args.modules.split(','))
+        if args.cnv_dim is not None:
+            width_kw['cnv_dim'] = args.cnv_dim
+        if args.n_stacks is not None:
+            width_kw['n_stacks'] = args.n_stacks
+        cfg = ModelConfig(basenet=args.basenet, **width_kw)
     model = PoseNet(cfg)
     s = args.input_size
     variables = model.init(jax.random.PRNGKey(0),

@@ -66,6 +66,18 @@ def cli(argv=None):
     g.add_argument('--n-limbs', type=int, default=19,
                    choices=[16, 19, 25, 31, 44])
     g.add_argument('--dataset', default='coco', choices=['coco', 'crowdpose'])
+    g.add_argument('--hg-order', type=int, default=None,
+                   help='hourglass recursion depth (default: ModelConfig '
+                        'full-width 5); with --dims/--modules/--cnv-dim '
+                        'builds narrower real-depth variants, e.g. the '
+                        'composed-A/B mid-width config')
+    g.add_argument('--dims', default=None,
+                   help='comma-separated per-level channel dims '
+                        '(len = hg_order + 1)')
+    g.add_argument('--modules', default=None,
+                   help='comma-separated per-level residual-module counts')
+    g.add_argument('--cnv-dim', type=int, default=None,
+                   help='post-hourglass conv width')
     g.add_argument('--remat', action='store_true',
                    help='rematerialize each hourglass stack in the backward '
                         '(jax.checkpoint): ~n_stacks x less activation HBM '
@@ -195,8 +207,18 @@ def main(argv=None):
                                 compute_dtype='float32', heads=heads,
                                 remat=args.remat)
     else:
+        width_kw = {}
+        if args.hg_order is not None:
+            width_kw['hg_order'] = args.hg_order
+        if args.dims is not None:
+            width_kw['dims'] = tuple(int(d) for d in args.dims.split(','))
+        if args.modules is not None:
+            width_kw['modules'] = tuple(int(m)
+                                        for m in args.modules.split(','))
+        if args.cnv_dim is not None:
+            width_kw['cnv_dim'] = args.cnv_dim
         model_cfg = ModelConfig(basenet=args.basenet, n_stacks=args.n_stacks,
-                                heads=heads, remat=args.remat)
+                                heads=heads, remat=args.remat, **width_kw)
     enc_cfg = EncoderConfig(max_persons=args.max_persons, sigma=args.sigma,
                             gaussian_clip=args.gaussian_clip,
                             fill_jitter_size=args.fill_jitter_size,

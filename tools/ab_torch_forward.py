@@ -39,7 +39,16 @@ def main():
     ap.add_argument('--hg-order', type=int, default=5)
     ap.add_argument('--dims', default='64,64,96,96,96,128')
     ap.add_argument('--cnv-dim', type=int, default=128)
+    ap.add_argument('--modules', default=None,
+                    help='comma-separated per-level residual-module counts '
+                         '(default: reference pattern 2,...,2,4)')
+    ap.add_argument('--n-stacks', type=int, default=2)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--torch-checkpoint', default=None,
+                    help='reference-format .pth with TRAINED weights for '
+                         'this config (e.g. from og-export --to-torch): '
+                         'makes the dAP bar non-degenerate (nonzero AP on '
+                         'both sides) instead of the random-init control')
     args = ap.parse_args()
 
     import torch
@@ -59,6 +68,8 @@ def main():
     from test_converter_numeric import TNet, _nchw
 
     dims = tuple(int(d) for d in args.dims.split(','))
+    modules = (tuple(int(m) for m in args.modules.split(','))
+               if args.modules else (2,) * args.hg_order + (4,))
     ann_file = os.path.join(args.dataset, 'annotations.json')
     image_dir = os.path.join(args.dataset, 'images')
     coco = CocoJson(ann_file)
@@ -69,7 +80,7 @@ def main():
     # ---- torch-native random init, BN statistics warmed on real images ----
     torch.manual_seed(args.seed)
     base_cfg = ModelConfig(hg_order=args.hg_order, dims=dims,
-                           modules=(2,) * args.hg_order + (4,),
+                           modules=modules, n_stacks=args.n_stacks,
                            cnv_dim=args.cnv_dim, compute_dtype='float32')
     replica = TNet(base_cfg)
     ecfg = EvalConfig(long_edge=args.long_edge, batch_size=args.batch_size)
@@ -86,18 +97,30 @@ def main():
             sk.n_keypoints, normalize=normalize)
         return fimg, meta
 
-    warm = np.stack([load_preprocessed(i, True)[0] for i in ids[:4]])
-    replica.train()
-    with torch.no_grad():
-        for _ in range(3):
-            replica(_nchw(warm))         # populate BN running stats
-    replica.eval()
+    if args.torch_checkpoint:
+        # TRAINED weights: load the reference-format .pth into the replica
+        # (strict — any key/shape mismatch is a real converter bug)
+        blob = torch.load(args.torch_checkpoint, map_location='cpu',
+                          weights_only=False)
+        sd = blob.get('model_state_dict', blob)
+        sd = {k[len('module.'):] if k.startswith('module.') else k: v
+              for k, v in sd.items()}
+        replica.load_state_dict(sd, strict=True)
+        replica.eval()
+        pth_path = args.torch_checkpoint
+    else:
+        warm = np.stack([load_preprocessed(i, True)[0] for i in ids[:4]])
+        replica.train()
+        with torch.no_grad():
+            for _ in range(3):
+                replica(_nchw(warm))     # populate BN running stats
+        replica.eval()
 
-    # ---- reference-format .pth through the real conversion tool path ------
-    sd = {'module.' + k: v for k, v in replica.state_dict().items()}
-    with tempfile.NamedTemporaryFile(suffix='.pth', delete=False) as f:
-        torch.save({'epoch': 0, 'model_state_dict': sd}, f.name)
-        pth_path = f.name
+        # ---- reference-format .pth through the real conversion tool path --
+        sd = {'module.' + k: v for k, v in replica.state_dict().items()}
+        with tempfile.NamedTemporaryFile(suffix='.pth', delete=False) as f:
+            torch.save({'epoch': 0, 'model_state_dict': sd}, f.name)
+            pth_path = f.name
 
     results = {}
     dev_stats = {}
@@ -161,7 +184,7 @@ def main():
     # ---- (b) our converted forward -> same decode (fp32 + bf16) -----------
     for dtype in ('float32', 'bfloat16'):
         cfg = ModelConfig(hg_order=args.hg_order, dims=dims,
-                          modules=(2,) * args.hg_order + (4,),
+                          modules=modules, n_stacks=args.n_stacks,
                           cnv_dim=args.cnv_dim, compute_dtype=dtype)
         model = PoseNet(cfg)
         variables = model.init(jax.random.PRNGKey(0),
