@@ -31,6 +31,16 @@ def cli():
                    help='encode the W-mirrored annotations as the second '
                         'half-batch and decode through the flip-merge path '
                         '(the oracle analogue of evaluate.py flip test)')
+    p.add_argument('--scored-offset', action='store_true',
+                   help='heatmap-weighted offset refinement before limb '
+                        'collection (reference decoder/factory.py:70-72)')
+    p.add_argument('--cat-flip-offset', action='store_true',
+                   help='flip-test: keep both offset vectors and pair by '
+                        '4-D distance instead of averaging (reference '
+                        '--cat-flip-offset)')
+    p.add_argument('--guid-jitter-refine', action='store_true',
+                   help='refine regressed guiding endpoints with the jitter '
+                        'offset before pairing (reference collect.py:158-165)')
     return p.parse_args()
 
 
@@ -56,7 +66,10 @@ def main():
         topk=args.topk, thre_hmp=args.thre_hmp, dist_max=args.dist_max,
         use_scale=False, person_thre=0.1,
         upsampled_decode=not args.lowres_decode,
-        pallas_grouping=args.pallas))
+        pallas_grouping=args.pallas,
+        scored_offset=args.scored_offset,
+        cat_flip_offs=args.cat_flip_offset,
+        guid_jitter_refine=args.guid_jitter_refine))
     coco = CocoJson(args.annotation_file)
     sigmas = np.asarray(skeleton.sigmas)
     size = args.long_edge
