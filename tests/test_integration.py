@@ -357,6 +357,33 @@ def test_simulate_tool_smoke(coco_dir, capsys):
     assert ap > 0.8, out
 
 
+def test_simulate_tool_variant_flags(coco_dir, capsys):
+    """The decoder-variant flags (--scored-offset / --cat-flip-offset /
+    --guid-jitter-refine, reference decoder/factory.py:70-78) wire through
+    the simulate CLI into DecoderConfig and the oracle still recovers the
+    scene under the flip-merge path."""
+    import sys
+    sys.path.insert(0, 'tools')
+    import importlib
+    sim = importlib.import_module('simulate')
+    img_dir, ann_file = coco_dir
+    argv_backup = sys.argv
+    sys.argv = ['simulate.py', '--image-dir', img_dir,
+                '--annotation-file', ann_file, '--long-edge', '160',
+                '--topk', '8', '--dist-max', '20', '--flip-test',
+                '--scored-offset', '--cat-flip-offset',
+                '--guid-jitter-refine']
+    try:
+        sim.main()
+    finally:
+        sys.argv = argv_backup
+    out = capsys.readouterr().out
+    assert 'AP:' in out
+    ap = float([l for l in out.splitlines() if l.startswith('AP:')][0]
+               .split(':')[1])
+    assert ap > 0.8, out
+
+
 def test_fixed_height_width_bucketing(tmp_path):
     """Fixed-height eval pads widths to `width_bucket` multiples so an epoch
     of varied aspect ratios compiles a bounded number of programs
