@@ -62,10 +62,14 @@ def _shift1(x, d):
 def _peaks_core(x, ue, uo):
     """(h, w) map -> (bvals, bcode) at (h*f/2, w*f/2) block resolution."""
     # parity planes u[dy][dx] of the upsampled map (H first, then W --
-    # same contraction order as upsample2d_matmul)
-    p0 = ue.T @ x                                  # (Hb, h)
-    p1 = uo.T @ x
-    u = [[p0 @ ue, p0 @ uo], [p1 @ ue, p1 @ uo]]   # (Hb, Wb) each
+    # same contraction order as upsample2d_matmul). HIGHEST precision to
+    # match upsample2d_matmul: these matmuls carry raw heatmap values, and
+    # Mosaic's DEFAULT f32 dot truncates inputs to bf16 (~0.04 oracle AP
+    # on the hard benchmark).
+    with jax.default_matmul_precision('highest'):
+        p0 = ue.T @ x                              # (Hb, h)
+        p1 = uo.T @ x
+        u = [[p0 @ ue, p0 @ uo], [p1 @ ue, p1 @ uo]]   # (Hb, Wb) each
 
     # separable 3x3 neighborhood max. Row pass: for output row 2i+dy, the
     # y-neighbors live in the other parity plane at static shifts.

@@ -142,9 +142,15 @@ def upsample2d_matmul(x: jax.Array, factor: int,
     n, h, w, c = x.shape
     uh = jnp.asarray(_upsample_matrix(h, factor, method))
     uw = jnp.asarray(_upsample_matrix(w, factor, method))
-    # (N,H,W,C) -> (N,H',W,C): contract H with uh
+    # (N,H,W,C) -> (N,H',W,C): contract H with uh. HIGHEST precision is
+    # load-bearing: TPU f32 matmuls truncate inputs to bf16 at DEFAULT,
+    # which perturbs upsampled peak values/locations enough to cost
+    # ~0.04 oracle AP on the hard benchmark (measured; the reference's
+    # torch F.interpolate is full fp32).
     y = jnp.einsum('nhwc,hH->nHwc', x, uh,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision='highest')
     y = jnp.einsum('nHwc,wW->nHWc', y, uw,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision='highest')
     return y
