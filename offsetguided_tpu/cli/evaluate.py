@@ -146,13 +146,20 @@ def main(argv=None):
     if args.results_json:
         with open(args.results_json, 'w') as f:
             json.dump(results, f)
+    # metric restricted to the evaluated image set (reference evaluate.py:324
+    # sets cocoEval.params.imgIds = validation_ids)
+    from offsetguided_tpu.eval.harness import eval_image_ids
+    ids = eval_image_ids(coco, n_images=args.n_images,
+                         all_images=args.all_images)
     if args.dataset == 'crowdpose':
         # crowd-band protocol: AP plus easy/medium/hard crowdIndex bands
         # (reference README.md:133-150 reports AP/APe/APm/APh)
         from offsetguided_tpu.eval.cocoeval import evaluate_crowdpose_keypoints
-        stats = evaluate_crowdpose_keypoints(coco, results, skeleton.sigmas)
+        stats = evaluate_crowdpose_keypoints(coco, results, skeleton.sigmas,
+                                             image_ids=ids)
     else:
-        stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas)
+        stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas,
+                                        image_ids=ids)
     for k, v in stats.items():
         print(f'{k}: {v:.4f}')
 

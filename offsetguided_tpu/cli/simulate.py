@@ -131,7 +131,8 @@ def main():
         if idx % 100 == 0:
             print(f'simulate {idx}/{len(ids)}')
 
-    stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas)
+    stats = evaluate_coco_keypoints(coco, results, skeleton.sigmas,
+                                    image_ids=ids)
     print('--- oracle (GT -> decoder) COCO metrics ---')
     for k, v in stats.items():
         print(f'{k}: {v:.4f}')

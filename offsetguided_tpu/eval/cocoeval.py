@@ -225,22 +225,25 @@ def _kp_area(kps) -> float:
 
 
 def evaluate_crowdpose_keypoints(gt_json_or_index, results: List[Dict],
-                                 sigmas) -> Dict[str, float]:
+                                 sigmas, image_ids=None) -> Dict[str, float]:
     """CrowdPose protocol: overall AP plus AP on easy/medium/hard image bands
     split by the per-image crowdIndex (reference README.md:133-150 reports
     AP/APe/APm/APh).
 
     Bands follow the crowdpose-api convention: easy crowdIndex < 0.1,
-    medium 0.1..0.8, hard > 0.8.
+    medium 0.1..0.8, hard > 0.8. image_ids: as in evaluate_coco_keypoints.
     """
     from ..data.coco import CocoJson
     coco = (gt_json_or_index if isinstance(gt_json_or_index, CocoJson)
             else CocoJson(gt_json_or_index))
+    keep = None if image_ids is None else set(image_ids)
     gts_by_img = {i: coco.anns_for_image(i)
-                  for i in coco.image_ids(with_persons=True)}
+                  for i in coco.image_ids(with_persons=True)
+                  if keep is None or i in keep}
     dts_by_img = defaultdict(list)
     for r in results:
-        dts_by_img[r['image_id']].append(r)
+        if keep is None or r['image_id'] in keep:
+            dts_by_img[r['image_id']].append(r)
     ev = KeypointEval(sigmas)
     out = {'AP': ev.run(gts_by_img, dts_by_img)['AP']}
 
@@ -258,16 +261,24 @@ def evaluate_crowdpose_keypoints(gt_json_or_index, results: List[Dict],
 
 
 def evaluate_coco_keypoints(gt_json_or_index, results: List[Dict],
-                            sigmas) -> Dict[str, float]:
+                            sigmas, image_ids=None) -> Dict[str, float]:
     """COCOeval-style entry: GT annotation file/index + result dicts
-    [{image_id, keypoints, score}, ...] -> metrics dict."""
+    [{image_id, keypoints, score}, ...] -> metrics dict.
+
+    image_ids: restrict the evaluation to these images — the reference sets
+    `cocoEval.params.imgIds = validation_ids` when only part of the set was
+    run (evaluate.py:324); without this, a subset run (--n-images) counts
+    every unevaluated image's GT as missed recall and deflates AP."""
     from ..data.coco import CocoJson
     coco = (gt_json_or_index if isinstance(gt_json_or_index, CocoJson)
             else CocoJson(gt_json_or_index))
+    keep = None if image_ids is None else set(image_ids)
     gts_by_img = defaultdict(list)
     for img_id in coco.image_ids(with_persons=True):
-        gts_by_img[img_id] = coco.anns_for_image(img_id)
+        if keep is None or img_id in keep:
+            gts_by_img[img_id] = coco.anns_for_image(img_id)
     dts_by_img = defaultdict(list)
     for r in results:
-        dts_by_img[r['image_id']].append(r)
+        if keep is None or r['image_id'] in keep:
+            dts_by_img[r['image_id']].append(r)
     return KeypointEval(sigmas).run(gts_by_img, dts_by_img)

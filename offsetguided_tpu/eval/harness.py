@@ -145,6 +145,17 @@ def _load_eval_image(coco: CocoJson, image_dir: str, img_id: int,
     return img_id, fimg, meta
 
 
+def eval_image_ids(coco: CocoJson, n_images: Optional[int] = None,
+                   all_images: bool = False) -> List[int]:
+    """The image set run_images evaluates: person images (or all images,
+    test-dev protocol), sorted, optionally truncated. The metric must be
+    restricted to the same set (reference evaluate.py:317-324)."""
+    ids = coco.image_ids(with_persons=not all_images)
+    if n_images:
+        ids = ids[:n_images]
+    return ids
+
+
 def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
                image_dir: str, cfg: EvalConfig,
                n_images: Optional[int] = None,
@@ -164,9 +175,7 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
     from concurrent.futures import ThreadPoolExecutor
 
     skeleton = skeleton or SkeletonConfig()
-    ids = coco.image_ids(with_persons=not all_images)
-    if n_images:
-        ids = ids[:n_images]
+    ids = eval_image_ids(coco, n_images=n_images, all_images=all_images)
     batch_size = 1 if cfg.fixed_height else cfg.batch_size
     infer = make_infer_fn(model, variables, pp, cfg.flip_test)
 
@@ -249,4 +258,7 @@ def validation(model, variables, pp, ann_file: str, image_dir: str,
     coco = CocoJson(ann_file)
     results = run_images(model, variables, pp, coco, image_dir, cfg,
                          n_images=n_images, skeleton=skeleton)
-    return evaluate_coco_keypoints(coco, results, skeleton.sigmas)
+    # restrict the metric to the evaluated subset (reference evaluate.py:324)
+    ids = eval_image_ids(coco, n_images=n_images)
+    return evaluate_coco_keypoints(coco, results, skeleton.sigmas,
+                                   image_ids=ids)

@@ -205,3 +205,54 @@ def test_crowdpose_bands(rng, tmp_path):
     assert abs(stats['AP'] - 1.0) < 1e-6
     for k in ('AP_easy', 'AP_medium', 'AP_hard'):
         assert abs(stats[k] - 1.0) < 1e-6
+
+
+def test_image_ids_restriction_matches_reference_imgids(rng, tmp_path):
+    """`image_ids` restricts the metric to the evaluated subset — the
+    reference sets cocoEval.params.imgIds = validation_ids when only part
+    of the set is run (evaluate.py:324). Without it a subset run counts
+    every unevaluated image's GT as missed recall."""
+    import json
+    from offsetguided_tpu.eval.cocoeval import evaluate_coco_keypoints
+
+    images, annotations, results = [], [], []
+    ann_id = 1
+    for img_id in range(1, 9):
+        images.append({'id': img_id, 'file_name': f'{img_id}.jpg',
+                       'height': 500, 'width': 500})
+        for g in make_gt(rng, img_id, 2):
+            g['id'] = ann_id
+            g['category_id'] = 1
+            ann_id += 1
+            annotations.append(g)
+            if img_id <= 4:   # detections only for the "evaluated" half
+                results.append(dt_from_gt(g, score=0.9))
+    f = tmp_path / 'gt.json'
+    f.write_text(json.dumps({'images': images, 'annotations': annotations,
+                             'categories': [{'id': 1, 'name': 'person'}]}))
+
+    # full-set metric is deflated by the 4 unevaluated images
+    full = evaluate_coco_keypoints(str(f), results, COCO_PERSON_SIGMAS)
+    assert full['AP'] < 0.6, full
+
+    # restricted to the evaluated ids: perfect
+    sub = evaluate_coco_keypoints(str(f), results, COCO_PERSON_SIGMAS,
+                                  image_ids=[1, 2, 3, 4])
+    assert abs(sub['AP'] - 1.0) < 1e-6, sub
+
+    # equivalence oracle: physically filtering the GT file gives the same
+    filt = {'images': images[:4],
+            'annotations': [a for a in annotations if a['image_id'] <= 4],
+            'categories': [{'id': 1, 'name': 'person'}]}
+    f2 = tmp_path / 'gt4.json'
+    f2.write_text(json.dumps(filt))
+    phys = evaluate_coco_keypoints(str(f2), results, COCO_PERSON_SIGMAS)
+    for k in sub:
+        assert abs(sub[k] - phys[k]) < 1e-9, (k, sub[k], phys[k])
+
+    # stray detections outside image_ids are dropped, like COCOeval imgIds
+    noise = results + [dt_from_gt(annotations[-1], score=0.95)]
+    sub2 = evaluate_coco_keypoints(str(f), noise, COCO_PERSON_SIGMAS,
+                                   image_ids=[1, 2, 3, 4])
+    for k in sub:
+        assert abs(sub2[k] - sub[k]) < 1e-9, (k, sub2[k], sub[k])

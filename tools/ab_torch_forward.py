@@ -165,7 +165,8 @@ def main():
         return recs
 
     recs_a = torch_eval()
-    results['torch_fwd'] = evaluate_coco_keypoints(coco, recs_a, sk.sigmas)
+    results['torch_fwd'] = evaluate_coco_keypoints(coco, recs_a, sk.sigmas,
+                                                    image_ids=ids)
     print('torch forward -> our decode:',
           json.dumps({k: round(v, 4) for k, v in results['torch_fwd'].items()
                       if k.startswith('AP')}))
@@ -195,7 +196,7 @@ def main():
         recs_b = run_images(model, variables, pp, coco, image_dir, ecfg,
                             n_images=len(ids), skeleton=sk)
         results[f'ours_{dtype}'] = evaluate_coco_keypoints(
-            coco, recs_b, sk.sigmas)
+            coco, recs_b, sk.sigmas, image_ids=ids)
         print(f'our {dtype} forward -> same decode:',
               json.dumps({k: round(v, 4)
                           for k, v in results[f'ours_{dtype}'].items()
