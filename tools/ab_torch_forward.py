@@ -44,6 +44,10 @@ def main():
                          '(default: reference pattern 2,...,2,4)')
     ap.add_argument('--n-stacks', type=int, default=2)
     ap.add_argument('--seed', type=int, default=0)
+    ap.add_argument('--person-thre', type=float, default=None,
+                    help='decoder person_thre override: raise it (e.g. 0.3) '
+                         'with trained weights so near-tied sub-threshold '
+                         'junk does not dominate the record comparison')
     ap.add_argument('--torch-checkpoint', default=None,
                     help='reference-format .pth with TRAINED weights for '
                          'this config (e.g. from og-export --to-torch): '
@@ -124,7 +128,8 @@ def main():
 
     results = {}
     dev_stats = {}
-    dcfg = DecoderConfig(topk=32, thre_hmp=0.04, dist_max=40.0)
+    dkw = {} if args.person_thre is None else {'person_thre': args.person_thre}
+    dcfg = DecoderConfig(topk=32, thre_hmp=0.04, dist_max=40.0, **dkw)
     pp = PostProcessor(cfg=dcfg)
 
     # ---- (a) torch forward -> our decode ----------------------------------
@@ -208,6 +213,50 @@ def main():
         dev_stats[f'identical_record_sets_{dtype}'] = f'{agree}/{len(ids)}'
         print(f'  identical per-image record sets vs torch ({dtype}): '
               f'{agree}/{len(ids)}')
+
+        # keypoint-level agreement on matched confident detections: ΔAP on
+        # tiny synthetic scenes is dominated by ±1px argmax tie flips at
+        # high OKS cliffs, so report the coordinate deltas directly
+        by_img_a, by_img_b = {}, {}
+        for recs, by in ((recs_a, by_img_a), (recs_b, by_img_b)):
+            for r in recs:
+                if r['score'] >= 0.5:
+                    by.setdefault(r['image_id'], []).append(
+                        np.asarray(r['keypoints']).reshape(-1, 3))
+        n_kp = match1 = count_mismatch = 0
+        worst = 0.0
+        for i in ids:
+            da, db = by_img_a.get(i, []), by_img_b.get(i, [])
+            if len(da) != len(db):
+                # a borderline-score person flipped sides: count it, do not
+                # let greedy pairing fabricate cross-person "deltas"
+                count_mismatch += 1
+                continue
+            used = set()
+            for pa in da:
+                best, bj = None, None
+                for j, pb in enumerate(db):
+                    if j in used:
+                        continue
+                    d = float(np.mean(np.linalg.norm(
+                        pa[:, :2] - pb[:, :2], axis=-1)))
+                    if best is None or d < best:
+                        best, bj = d, j
+                if bj is None:
+                    continue
+                used.add(bj)
+                dd = np.linalg.norm(pa[:, :2] - db[bj][:, :2], axis=-1)
+                n_kp += dd.size
+                match1 += int((dd <= 1.0).sum())
+                worst = max(worst, float(dd.max()))
+        if n_kp:
+            dev_stats[f'kp_within_1px_{dtype}'] = f'{match1}/{n_kp}'
+            dev_stats[f'kp_max_px_{dtype}'] = round(worst, 3)
+            dev_stats[f'det_count_mismatch_images_{dtype}'] = count_mismatch
+            print(f'  confident keypoints within 1px of torch ({dtype}): '
+                  f'{match1}/{n_kp} (max {worst:.2f}px; '
+                  f'{count_mismatch} images with a borderline detection '
+                  f'flipping sides)')
 
         # max per-map forward deviation (first 16 images suffice: the
         # deviation is an accumulation property, not a scene property)
