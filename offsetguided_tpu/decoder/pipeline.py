@@ -27,7 +27,7 @@ import numpy as np
 from ..config.defaults import DecoderConfig, SkeletonConfig
 from ..ops import decoder as dec_ops
 from ..ops import grouping
-from ..ops.resize import upsample2d_matmul
+from ..ops.resize import upsample2d
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,8 +177,11 @@ class PostProcessor:
             else:
                 # only heatmaps are physically upsampled (peak finding needs
                 # the bicubic surface); aux maps are interpolated at the K
-                # peaks only. matmul formulation: interpolation on the MXU.
-                hmp_up = upsample2d_matmul(hmp, s, cfg.resize_mode)
+                # peaks only. Shift-path formulation (exact f32 VPU FMAs,
+                # same term order as the fused kernel and the peak
+                # sampling -- the MXU matmul form needs precision='highest'
+                # to avoid bf16 truncation and is slower at that setting).
+                hmp_up = upsample2d(hmp, s, cfg.resize_mode)
                 limbs = dec_ops.collect_limbs_peak_sampled(
                     hmp_up, omp, np.asarray(self._jf), np.asarray(self._jt),
                     cfg, jomps4=jomp, scmps4=scmp, stride=s)
