@@ -70,6 +70,16 @@ def cli(argv=None):
     p.add_argument('--debug-tiny-model', action='store_true',
                    help='narrow random-weight backbone: exercises the full '
                         'eval pipeline quickly (CI / smoke use)')
+    p.add_argument('--hg-order', type=int, default=None,
+                   help='hourglass recursion depth override (with --dims/'
+                        '--modules/--cnv-dim: narrower real-depth variants, '
+                        'matching a tools/train.py width-flag run)')
+    p.add_argument('--dims', default=None,
+                   help='comma-separated per-level channel dims')
+    p.add_argument('--modules', default=None,
+                   help='comma-separated per-level residual-module counts')
+    p.add_argument('--cnv-dim', type=int, default=None)
+    p.add_argument('--n-stacks', type=int, default=None)
     args = p.parse_args(argv)
     bucket = max(args.width_bucket, args.max_stride)
     if bucket % args.max_stride != 0:
@@ -101,7 +111,19 @@ def main(argv=None):
                                 modules=(1, 1, 1), cnv_dim=8,
                                 compute_dtype='float32', heads=heads)
     else:
-        model_cfg = ModelConfig(heads=heads)
+        width_kw = {}
+        if args.hg_order is not None:
+            width_kw['hg_order'] = args.hg_order
+        if args.dims is not None:
+            width_kw['dims'] = tuple(int(d) for d in args.dims.split(','))
+        if args.modules is not None:
+            width_kw['modules'] = tuple(int(m)
+                                        for m in args.modules.split(','))
+        if args.cnv_dim is not None:
+            width_kw['cnv_dim'] = args.cnv_dim
+        if args.n_stacks is not None:
+            width_kw['n_stacks'] = args.n_stacks
+        model_cfg = ModelConfig(heads=heads, **width_kw)
     model = PoseNet(model_cfg)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 128, 128, 3)), train=False)

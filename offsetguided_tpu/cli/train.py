@@ -142,6 +142,12 @@ def cli(argv=None):
     g.add_argument('--drop-layers', default=None)
     g.add_argument('--print-freq', type=int, default=20)
     g.add_argument('--log-file', default=None)
+    g.add_argument('--save-every', type=int, default=1,
+                   help='checkpoint every N epochs (the reference saves '
+                        'every epoch, train_dist.py:214; on small datasets '
+                        'an epoch is seconds and the save dominates — raise '
+                        'this to amortize; the final checkpoint is always '
+                        'written)')
     g.add_argument('--distributed', action='store_true',
                    help='multi-host: call jax.distributed.initialize()')
     g.add_argument('--coordinator-address', default=None,
@@ -426,6 +432,10 @@ def main(argv=None):
                 t0 = time.perf_counter()
                 batch = next(it, None)
                 if batch is None:
+                    if (epoch - start_epoch) % args.save_every != 0:
+                        path = save_ckpt(epoch, meter.avg)
+                        if path:
+                            logger.info('final checkpoint %s', path)
                     break
                 t1 = time.perf_counter()
                 images, targets, mask = device_batch(batch)
@@ -454,10 +464,11 @@ def main(argv=None):
                     if val_dataset is not None:
                         val_loss = run_validation(state, epoch)
                         logger.info('epoch %d val loss %.4f', epoch, val_loss)
-                    path = save_ckpt(epoch, meter.avg)
-                    if path:
-                        logger.info('epoch %d done, checkpoint %s', epoch,
-                                    path)
+                    if (epoch - start_epoch) % args.save_every == 0:
+                        path = save_ckpt(epoch, meter.avg)
+                        if path:
+                            logger.info('epoch %d done, checkpoint %s', epoch,
+                                        path)
                     meter.reset()
     finally:
         ckpt.wait_for_saves()
