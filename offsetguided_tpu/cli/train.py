@@ -29,6 +29,11 @@ def cli(argv=None):
     g.add_argument('--square-length', type=int, default=512)
     g.add_argument('--max-persons', type=int, default=32)
     g.add_argument('--n-images', type=int, default=None)
+    g.add_argument('--warp-impl', default='patch',
+                   choices=['patch', 'tiled'],
+                   help='device-aug bicubic warp formulation: patch = 4x4 '
+                        'patch lax.gather; tiled = windowed banded matmuls '
+                        '(ops/augment.py::affine_sample_tiled)')
     g.add_argument('--device-aug', action='store_true',
                    help='run warp-affine + photometric augmentation inside '
                         'the jitted train program (ops/augment.py): the '
@@ -366,9 +371,12 @@ def main(argv=None):
                     # of dispatches per batch)
                     from offsetguided_tpu.ops.augment import augment_batch_dict
                     dev = unpack_device_batch(flat, spec)
+                    from offsetguided_tpu.ops.augment import warp_slope_bound
                     imgs, mask01, anns2 = augment_batch_dict(
                         dev, args.square_length,
-                        dataset.left_index, dataset.right_index)
+                        dataset.left_index, dataset.right_index,
+                        warp_impl=args.warp_impl,
+                        slope_bound=warp_slope_bound(aug_cfg))
                     targets = encode_targets(anns2, sigmas, skeleton.skeleton,
                                              out_hw, out_hw, enc_cfg)
                     return imgs, targets, downscale_mask(mask01, enc_cfg)

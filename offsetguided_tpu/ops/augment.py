@@ -180,6 +180,139 @@ def affine_sample(images: jax.Array, mats_dst2src: jax.Array,
     return out[:, :oh]
 
 
+def warp_slope_bound(aug_cfg) -> float:
+    """Static bound on |dst->src linear coefficients| for an
+    `AugmentationConfig`: the inverse warp of rotate(theta) @ scale(s) @
+    stretch(f) has entries bounded by (|cos|+|sin|)/(s*f) <=
+    sqrt(2)/(min_scale*min_stretch). Used to size `affine_sample_tiled`'s
+    static source windows."""
+    return float(np.sqrt(2.0)
+                 / (aug_cfg.min_scale * min(aug_cfg.min_stretch, 1.0)))
+
+
+def affine_sample_tiled(images: jax.Array, mats_dst2src: jax.Array,
+                        out_hw: Tuple[int, int], border_value,
+                        valid_hw: jax.Array | None = None,
+                        slope_bound: float = 2.0,
+                        row_tile: int = 8, lane_chunk: int = 64) -> jax.Array:
+    """Bicubic affine warp as windowed banded MATMULS (no per-pixel gather).
+
+    Same contract and tap math as `affine_sample` (cv2 INTER_CUBIC +
+    BORDER_CONSTANT, valid_hw border masking), different TPU formulation:
+    the per-pixel 4x4-patch `lax.gather` (~60-cycle descriptor per output
+    position; 267 ms/step at 512^2/batch-16, 64% of the device-aug train
+    step — BENCHMARKS.md round 4) is replaced by
+
+      1. ONE batched `dynamic_slice` per output tile: a (R, Cw) source
+         window per sample bounded statically by `slope_bound` (max abs
+         dst->src linear coefficient: sqrt(2)/min_scale for the shipped
+         rotate+scale augmentations) — 16 descriptors per tile instead of
+         16k per-position descriptors;
+      2. the horizontal 4-tap stage as a dense banded-weight matmul
+         (window @ Wc^T on the MXU at HIGHEST precision: uint8 pixel
+         values are bf16-exact, so only the f32 weights need the passes);
+      3. the vertical 4-tap stage as a banded-weight elementwise reduce
+         on the VPU (the band matrix G is per-lane, so no matmul form).
+
+    Border-constant semantics fall out exactly as in `affine_sample`:
+    clipped/invalid taps get weight 0 at construction and the border color
+    absorbs `1 - coverage` (Keys kernel is a partition of unity).
+
+    `slope_bound` is the caller's contract: every |m00|,|m01|,|m10|,|m11|
+    must be <= it (window sizes derive from it statically). Windows are
+    clamped to the image, so a bound >= the actual coefficients is always
+    safe, never wrong.
+    """
+    n, h, w, c = images.shape
+    oh, ow = out_hw
+    if valid_hw is None:
+        valid_hw = jnp.tile(jnp.asarray([[h, w]], jnp.int32), (n, 1))
+
+    ty, cx = row_tile, lane_chunk
+    n_ty = -(-oh // ty)
+    n_cx = -(-ow // cx)
+    # static window extents from the slope bound (+4-tap footprint, +1 floor)
+    span_r = int(np.ceil(slope_bound * (cx - 1) + slope_bound * (ty - 1))) + 5
+    span_c = span_r
+    R = min(span_r, h)
+    Cw = min(span_c, w)
+
+    vh = valid_hw[:, 0].astype(jnp.float32)[:, None, None]     # [n,1,1]
+    vw = valid_hw[:, 1].astype(jnp.float32)[:, None, None]
+    m = mats_dst2src.astype(jnp.float32)
+    border = jnp.asarray(border_value, jnp.float32).reshape(1, -1)
+    border = jnp.broadcast_to(border, (1, c)).astype(jnp.float32)
+
+    # planar (N, C, H, W) uint8: window slices then have the contraction
+    # dim (window columns) minor, and only the window is widened to f32
+    imgs_p = images.transpose(0, 3, 1, 2)
+    taps = jnp.arange(4, dtype=jnp.float32)
+
+    def one_tile(_, idx):
+        ti = idx // n_cx
+        ci = idx % n_cx
+        y0 = (ti * ty).astype(jnp.float32)
+        x0 = (ci * cx).astype(jnp.float32)
+        ys = y0 + jnp.arange(ty, dtype=jnp.float32)[:, None]    # [ty,1]
+        xs = x0 + jnp.arange(cx, dtype=jnp.float32)[None, :]    # [1,cx]
+        sx = (m[:, 0, 0, None, None] * xs + m[:, 0, 1, None, None] * ys
+              + m[:, 0, 2, None, None])                          # [n,ty,cx]
+        sy = (m[:, 1, 0, None, None] * xs + m[:, 1, 1, None, None] * ys
+              + m[:, 1, 2, None, None])
+        rx0 = jnp.floor(sx) - 1.0
+        ry0 = jnp.floor(sy) - 1.0
+        r0 = jnp.clip(jnp.min(ry0, axis=(1, 2)), 0.0, float(h - R))
+        c0 = jnp.clip(jnp.min(rx0, axis=(1, 2)), 0.0, float(w - Cw))
+        r0i = r0.astype(jnp.int32)
+        c0i = c0.astype(jnp.int32)
+
+        win = jax.vmap(
+            lambda im, r, cc: jax.lax.dynamic_slice(im, (0, r, cc),
+                                                    (c, R, Cw)))(
+            imgs_p, r0i, c0i).astype(jnp.float32)                # [n,c,R,Cw]
+
+        # horizontal banded weights: Wc[n,ty,cx,Cw]
+        rx = rx0[..., None] + taps                               # [n,ty,cx,4]
+        ry = ry0[..., None] + taps
+        wx = _cubic_w(sx[..., None] - rx) * (
+            (rx >= 0) & (rx < vw[..., None]))                    # [n,ty,cx,4]
+        wy = _cubic_w(sy[..., None] - ry) * (
+            (ry >= 0) & (ry < vh[..., None]))
+        col_io = jnp.arange(Cw, dtype=jnp.float32)               # [Cw]
+        # one-hot over the window column for each tap, weight-summed
+        rxw = rx - c0[:, None, None, None]                       # [n,ty,cx,4]
+        wc = jnp.sum(
+            wx[..., None] * (rxw[..., None] == col_io),
+            axis=3)                                              # [n,ty,cx,Cw]
+
+        # MXU: column-mix every window row against the band matrix.
+        # HIGHEST so the f32 weights are not truncated (pixel VALUES are
+        # uint8 -> bf16-exact; the decode-upsample precision defect showed
+        # DEFAULT truncates value-carrying matmuls, BENCHMARKS.md round 4)
+        crow = jnp.einsum('ncrw,nyxw->nyxrc', win, wc,
+                          precision=jax.lax.Precision.HIGHEST)   # [n,ty,cx,R,c]
+
+        # VPU: vertical banded reduce (G is per-lane -> no matmul form)
+        row_io = jnp.arange(R, dtype=jnp.float32)                # [R]
+        ryw = ry - r0[:, None, None, None]                       # [n,ty,cx,4]
+        g = jnp.sum(
+            wy[..., None] * (ryw[..., None] == row_io),
+            axis=3)                                              # [n,ty,cx,R]
+        val = jnp.sum(crow * g[..., None], axis=3)               # [n,ty,cx,c]
+
+        coverage = jnp.sum(wy, axis=-1) * jnp.sum(wx, axis=-1)   # [n,ty,cx]
+        out = val + border[None, None] * (1.0 - coverage)[..., None]
+        return _, out
+
+    _, tiles = jax.lax.scan(
+        one_tile, None, jnp.arange(n_ty * n_cx, dtype=jnp.int32))
+    # tiles: [n_ty*n_cx, n, ty, cx, c] -> [n, oh_pad, ow_pad, c]
+    tiles = tiles.reshape(n_ty, n_cx, n, ty, cx, c)
+    out = tiles.transpose(2, 0, 3, 1, 4, 5).reshape(
+        n, n_ty * ty, n_cx * cx, c)
+    return out[:, :oh, :ow]
+
+
 def transform_annotations(anns: jax.Array, mats: jax.Array,
                           scale_xy: jax.Array, flips: jax.Array,
                           left_index: Sequence[int],
@@ -279,7 +412,8 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
                   anns: jax.Array, mats: jax.Array, mats_inv: jax.Array,
                   scale_xy: jax.Array, flips: jax.Array, grays: jax.Array,
                   tints: jax.Array, valid_hw: jax.Array, out_size: int,
-                  left_index: Sequence[int], right_index: Sequence[int]
+                  left_index: Sequence[int], right_index: Sequence[int],
+                  warp_impl: str = 'patch', slope_bound: float = 3.0
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full device augmentation: warp + photometric + annotation transform.
 
@@ -298,8 +432,13 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
     packed = jnp.concatenate(
         [raw_images, raw_masks[..., None].astype(raw_images.dtype)], axis=-1)
     border = jnp.asarray(tuple(PAD_RGB) + (255.0,), jnp.float32)
-    warped = affine_sample(packed, mats_inv, (out_size, out_size), border,
-                           valid_hw)
+    if warp_impl == 'tiled':
+        warped = affine_sample_tiled(packed, mats_inv, (out_size, out_size),
+                                     border, valid_hw,
+                                     slope_bound=slope_bound)
+    else:
+        warped = affine_sample(packed, mats_inv, (out_size, out_size), border,
+                               valid_hw)
     imgs = photometric(warped[..., :3], grays, tints)
     # cv2 saturates + rounds to uint8 at every stage; one final quantization
     imgs = jnp.clip(jnp.round(imgs), 0, 255).astype(jnp.uint8)
@@ -311,7 +450,8 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
 
 
 def augment_batch_dict(batch, out_size: int, left_index: Sequence[int],
-                       right_index: Sequence[int]):
+                       right_index: Sequence[int],
+                       warp_impl: str = 'patch', slope_bound: float = 3.0):
     """`augment_batch` over the batch dict the data pipeline ships
     (sample_spec keys) — the one unpacking shared by every jitted caller."""
     return augment_batch(
@@ -319,4 +459,5 @@ def augment_batch_dict(batch, out_size: int, left_index: Sequence[int],
         batch['aug_mat'], batch['aug_mat_inv'], batch['aug_scale_xy'],
         batch['aug_flags'][:, 0] > 0.5, batch['aug_flags'][:, 1] > 0.5,
         batch['aug_tint'], batch['valid_hw'], out_size,
-        left_index, right_index)
+        left_index, right_index,
+        warp_impl=warp_impl, slope_bound=slope_bound)

@@ -82,6 +82,36 @@ def test_patch_gather_matches_tap_loop_oracle(rng):
                                    rtol=1e-4, atol=5e-3)
 
 
+def test_tiled_warp_matches_tap_loop_oracle(rng):
+    """affine_sample_tiled (windowed banded-matmul warp) vs the 16-tap
+    oracle: interior, borders, cropped valid_hw, far-out-of-bounds, AND an
+    image large enough that the static source window is a real sub-window
+    (not the whole-image degenerate clamp). Tolerance is accumulation-order
+    noise (<0.05 of 255, far below the final uint8 rounding)."""
+    from offsetguided_tpu.ops.augment import (_affine_sample_taps,
+                                              affine_sample_tiled)
+
+    border = jnp.asarray([124.0, 116.0, 104.0, 255.0])
+    for (h, w, oh, ow) in ((45, 57, 31, 50), (400, 360, 128, 144)):
+        images = (rng.rand(2, h, w, 4) * 255).astype(np.uint8)
+        for trial in range(3):
+            th = rng.uniform(-0.8, 0.8)
+            s = rng.uniform(0.4, 2.1) if trial < 2 else 4.0
+            off = 20 if trial < 2 else 5000     # last trial: all-border
+            mats = np.stack([np.array(
+                [[np.cos(th) * s, -np.sin(th) * s, rng.uniform(-off, off)],
+                 [np.sin(th) * s, np.cos(th) * s, rng.uniform(-off, off)]],
+                np.float32) for _ in range(2)])
+            valid = np.stack([[h, w], [h - 7, w - 11]]).astype(np.int32)
+            got = affine_sample_tiled(jnp.asarray(images), jnp.asarray(mats),
+                                      (oh, ow), border, jnp.asarray(valid),
+                                      slope_bound=4.5)
+            want = _affine_sample_taps(jnp.asarray(images), jnp.asarray(mats),
+                                       (oh, ow), border, jnp.asarray(valid))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-3, atol=0.05)
+
+
 def test_transform_annotations_matches_host(rng):
     h, w, dst = 80, 100, 64
     sk = SkeletonConfig()
