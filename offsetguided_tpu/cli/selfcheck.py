@@ -94,6 +94,11 @@ def main(argv=None):
                    choices=['float32', 'bfloat16'],
                    help='Adam moment-state dtype (convergence-parity gate '
                         'for the bf16 optimizer-state option)')
+    p.add_argument('--seed', type=int, default=0,
+                   help='model-init + batch-order seed (the dataset itself '
+                        'stays fixed so every seed trains the same task); '
+                        'multi-seed runs turn the single-draw convergence '
+                        'gate into a band')
     args = p.parse_args(argv)
 
     import jax
@@ -131,7 +136,8 @@ def main(argv=None):
     ds = CocoKeypoints(img_dir, ann_file, skeleton=skeleton, aug=aug,
                        square_length=S, max_persons=8,
                        device_aug=args.device_aug, raw_canvas=320)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, S, S, 3)),
+    variables = model.init(jax.random.PRNGKey(args.seed),
+                           jnp.zeros((1, S, S, 3)),
                            train=False)
     loss_cfg = LossConfig(stack_weights=(1.0,), fgamma=2.0,
                           lambdas=(1.0, 0.1, 100.0, 300.0, 1.0))
@@ -165,7 +171,8 @@ def main(argv=None):
 
     t0 = time.time()
     n = 0
-    for batch in batch_iterator(ds, 4, seed=0, shuffle=False, epochs=None):
+    for batch in batch_iterator(ds, 4, seed=args.seed, shuffle=False,
+                                epochs=None):
         imgs, t, mask = prepare(batch)
         state, m = step(state, imgs, t, mask)
         n += 1

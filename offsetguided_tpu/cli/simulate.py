@@ -24,6 +24,13 @@ def cli():
     p.add_argument('--thre-hmp', type=float, default=0.1)
     p.add_argument('--dist-max', type=float, default=40.0)
     p.add_argument('--max-persons', type=int, default=48)
+    p.add_argument('--capacity', type=int, default=None,
+                   help='grouping intermediate skeleton-row capacity '
+                        '(DecoderConfig.capacity; the reference grows its '
+                        'subset list unboundedly, group.py:166-177 — sweep '
+                        'this on crowd scenes to find the drop-policy knee)')
+    p.add_argument('--max-poses', type=int, default=None,
+                   help='grouped-output pose capacity (DecoderConfig.max_poses)')
     p.add_argument('--lowres-decode', action='store_true')
     p.add_argument('--pallas', default='auto', choices=['auto', 'on', 'off'],
                    help='decode kernel dispatch (parity comparisons)')
@@ -62,6 +69,11 @@ def main():
     enc_cfg = EncoderConfig(max_persons=args.max_persons)
     eval_cfg = EvalConfig(long_edge=args.long_edge, flip_test=False,
                           batch_size=1)
+    cap_kw = {}
+    if args.capacity is not None:
+        cap_kw['capacity'] = args.capacity
+    if args.max_poses is not None:
+        cap_kw['max_poses'] = args.max_poses
     pp = PostProcessor(skeleton=skeleton, cfg=DecoderConfig(
         topk=args.topk, thre_hmp=args.thre_hmp, dist_max=args.dist_max,
         use_scale=False, person_thre=0.1,
@@ -69,7 +81,7 @@ def main():
         pallas_grouping=args.pallas,
         scored_offset=args.scored_offset,
         cat_flip_offs=args.cat_flip_offset,
-        guid_jitter_refine=args.guid_jitter_refine))
+        guid_jitter_refine=args.guid_jitter_refine, **cap_kw))
     coco = CocoJson(args.annotation_file)
     sigmas = np.asarray(skeleton.sigmas)
     size = args.long_edge

@@ -167,13 +167,80 @@ def make_hard_dataset(root: str, n_images: int = 100, seed: int = 0,
     return img_dir, ann_file
 
 
+def make_crowd_dataset(root: str, n_images: int = 30, seed: int = 0,
+                       n_persons: Tuple[int, int] = (50, 70),
+                       paint: bool = True) -> Tuple[str, str]:
+    """Crowd-scale stress scenes: `n_persons` people per 640^2 image at
+    small-to-medium scales with heavy mutual overlap — the regime where the
+    decoder's fixed-shape capacities (`DecoderConfig.capacity`,
+    `max_poses`, `topk`) bound subset growth, unlike the reference's
+    unbounded python list (/root/reference/decoder/group.py:166-177).
+    Returns (image_dir, annotation_file)."""
+    import cv2
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, 'images')
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    ann_id = 1
+    for img_id in range(1, n_images + 1):
+        h = w = 640
+        img = (rng.rand(h, w, 3) * 60 + 70).astype(np.uint8)
+        n_p = rng.randint(n_persons[0], n_persons[1] + 1)
+        for _ in range(n_p):
+            box = float(np.exp(rng.uniform(np.log(40.0), np.log(150.0))))
+            kps = _make_person(rng, h, w, box)
+            n_vis = int((kps[:, 2] > 0).sum())
+            if n_vis < 3:
+                continue
+            pos = kps[kps[:, 2] > 0]
+            bx, by = pos[:, 0].min() - 3, pos[:, 1].min() - 3
+            bw = pos[:, 0].max() - pos[:, 0].min() + 6
+            bh = pos[:, 1].max() - pos[:, 1].min() + 6
+            annotations.append({
+                'id': ann_id, 'image_id': img_id, 'category_id': 1,
+                'keypoints': kps.reshape(-1).tolist(),
+                'num_keypoints': n_vis, 'iscrowd': 0,
+                'bbox': [float(bx), float(by), float(bw), float(bh)],
+                'area': float(bw * bh * 0.55),
+                'segmentation': [[float(bx), float(by), float(bx + bw),
+                                  float(by), float(bx + bw), float(by + bh),
+                                  float(bx), float(by + bh)]],
+            })
+            ann_id += 1
+            if paint:
+                _paint(img, kps)
+        name = f'{img_id:06d}.jpg'
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        images.append({'id': img_id, 'file_name': name,
+                       'height': int(h), 'width': int(w)})
+
+    from ..config import COCO_KEYPOINTS, COCO_PERSON_SKELETON
+    ann_file = os.path.join(root, 'annotations.json')
+    with open(ann_file, 'w') as f:
+        json.dump({'images': images, 'annotations': annotations,
+                   'categories': [{
+                       'id': 1, 'name': 'person',
+                       'keypoints': list(COCO_KEYPOINTS),
+                       'skeleton': [[a + 1, b + 1]
+                                    for a, b in COCO_PERSON_SKELETON]}]}, f)
+    return img_dir, ann_file
+
+
 if __name__ == '__main__':
     import argparse
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument('out_dir')
     p.add_argument('--n-images', type=int, default=100)
     p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--crowd', default=None,
+                   help='MIN,MAX persons per image: generate the crowd '
+                        'stress set instead of the hard benchmark')
     a = p.parse_args()
-    img_dir, ann_file = make_hard_dataset(a.out_dir, a.n_images, a.seed)
+    if a.crowd:
+        lo, hi = (int(x) for x in a.crowd.split(','))
+        img_dir, ann_file = make_crowd_dataset(a.out_dir, a.n_images, a.seed,
+                                               n_persons=(lo, hi))
+    else:
+        img_dir, ann_file = make_hard_dataset(a.out_dir, a.n_images, a.seed)
     print(img_dir)
     print(ann_file)
