@@ -174,6 +174,14 @@ def cli(argv=None):
 
 def main(argv=None):
     args = cli(argv)
+    # long tunneled compiles look like hangs: SIGQUIT dumps all python
+    # stacks instead of silently terminating (debuggability for remote runs)
+    try:
+        import faulthandler
+        import signal
+        faulthandler.register(signal.SIGQUIT, all_threads=True)
+    except (ImportError, AttributeError, ValueError):
+        pass
     if args.distributed:
         if args.coordinator_address:
             jax.distributed.initialize(
