@@ -28,6 +28,17 @@ def main():
     p.add_argument('--io-workers', type=int, default=4)
     p.add_argument('--modes', default='noflip,flip',
                    help='comma list from {noflip, flip}')
+    p.add_argument('--fixed-height', action='store_true',
+                   help='benchmark the fixed-height eval mode (the '
+                        "reference's best test-dev config, evaluate.py:"
+                        '141-154 / README.md:117-131): height rescaled to '
+                        '--long-edge, batch 1, width padded to '
+                        '--width-bucket multiples; also reports the number '
+                        'of distinct compiled programs over the image set')
+    p.add_argument('--width-bucket', type=int, default=256,
+                   help='fixed-height width padding bucket (multiple of '
+                        'max stride 128); smaller buckets = less padding '
+                        'waste but more distinct compiled programs')
     p.add_argument('--debug-tiny-model', action='store_true')
     p.add_argument('--no-cache', action='store_true')
     args = p.parse_args()
@@ -71,23 +82,50 @@ def main():
         flip = mode.strip() == 'flip'
         cfg = EvalConfig(long_edge=args.long_edge, flip_test=flip,
                          batch_size=args.batch_size,
-                         io_workers=args.io_workers)
-        # warm-up pass compiles the jitted program and fills the OS page cache
+                         io_workers=args.io_workers,
+                         fixed_height=args.fixed_height,
+                         width_bucket=args.width_bucket)
+        extra = {}
+        if args.fixed_height:
+            # every distinct padded (H, W) is one XLA compilation; derive
+            # the set from the annotation-file sizes without decoding pixels
+            from ..eval.harness import preprocess_eval
+            import numpy as np
+            shapes = set()
+            for i in ids:
+                info = coco.image_info(i)
+                dummy = np.zeros((info['height'], info['width'], 3),
+                                 np.uint8)
+                fimg, _a, _m = preprocess_eval(
+                    dummy, np.zeros((0, skeleton.n_keypoints, 4),
+                                    np.float32),
+                    cfg, skeleton.n_keypoints, normalize=False)
+                shapes.add(fimg.shape[:2])
+            extra = {'n_compiled_programs': len(shapes),
+                     'shapes': sorted(list(map(list, shapes))),
+                     'width_bucket': args.width_bucket}
+        # cold pass: compiles every distinct program (fixed-height: one per
+        # padded shape) and fills the OS page cache; timed separately so the
+        # compile-count tradeoff of the bucket size is visible
+        t0 = time.perf_counter()
         run_images(model, variables, pp, coco, img_dir, cfg,
-                   n_images=2 * args.batch_size, skeleton=skeleton)
+                   n_images=args.n_images, skeleton=skeleton)
+        cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         results = run_images(model, variables, pp, coco, img_dir, cfg,
                              n_images=args.n_images, skeleton=skeleton)
         dt = time.perf_counter() - t0
         print(json.dumps({
-            'metric': f'fromdisk_fps_{args.long_edge}'
-                      f'{"_flip" if flip else ""}',
+            'metric': (f'fromdisk_fps_{"fh" if args.fixed_height else ""}'
+                       f'{args.long_edge}{"_flip" if flip else ""}'),
             'value': round(len(ids) / dt, 2),
             'unit': 'img/s',
+            'cold_pass_s': round(cold, 1),
             'n_images': len(ids),
             'n_results': len(results),
             'io_workers': args.io_workers,
-            'batch_size': args.batch_size,
+            'batch_size': 1 if args.fixed_height else args.batch_size,
+            **extra,
         }))
 
 

@@ -28,6 +28,9 @@ def main(argv=None):
                    help='include the device augmentation program '
                         '(ops/augment.py) in the measured step')
     p.add_argument('--raw-canvas', type=int, default=640)
+    p.add_argument('--warp-impl', default='tiled',
+                   choices=['patch', 'tiled'],
+                   help='device-aug warp formulation (see og-train)')
     p.add_argument('--n1', type=int, default=3)
     p.add_argument('--n2', type=int, default=9)
     p.add_argument('--debug-tiny-model', action='store_true')
@@ -94,7 +97,8 @@ def main(argv=None):
 
         @jax.jit
         def prepare():
-            imgs, mask01, anns2 = augment_batch_dict(raw, S, [1, 3], [2, 4])
+            imgs, mask01, anns2 = augment_batch_dict(
+                raw, S, [1, 3], [2, 4], warp_impl=args.warp_impl)
             t = encode_targets(anns2, sig, COCO_PERSON_SKELETON,
                                out_hw, out_hw, enc)
             return imgs, t, downscale_mask(mask01, enc)

@@ -29,11 +29,12 @@ def cli(argv=None):
     g.add_argument('--square-length', type=int, default=512)
     g.add_argument('--max-persons', type=int, default=32)
     g.add_argument('--n-images', type=int, default=None)
-    g.add_argument('--warp-impl', default='patch',
+    g.add_argument('--warp-impl', default='tiled',
                    choices=['patch', 'tiled'],
-                   help='device-aug bicubic warp formulation: patch = 4x4 '
-                        'patch lax.gather; tiled = windowed banded matmuls '
-                        '(ops/augment.py::affine_sample_tiled)')
+                   help='device-aug bicubic warp formulation: tiled = '
+                        'windowed banded matmuls (default; 3.4x the gather '
+                        'path on v5e, ops/augment.py::affine_sample_tiled); '
+                        'patch = 4x4 patch lax.gather')
     g.add_argument('--device-aug', action='store_true',
                    help='run warp-affine + photometric augmentation inside '
                         'the jitted train program (ops/augment.py): the '

@@ -413,7 +413,7 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
                   scale_xy: jax.Array, flips: jax.Array, grays: jax.Array,
                   tints: jax.Array, valid_hw: jax.Array, out_size: int,
                   left_index: Sequence[int], right_index: Sequence[int],
-                  warp_impl: str = 'patch', slope_bound: float = 3.0
+                  warp_impl: str = 'tiled', slope_bound: float = 3.0
                   ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full device augmentation: warp + photometric + annotation transform.
 
@@ -451,7 +451,7 @@ def augment_batch(raw_images: jax.Array, raw_masks: jax.Array,
 
 def augment_batch_dict(batch, out_size: int, left_index: Sequence[int],
                        right_index: Sequence[int],
-                       warp_impl: str = 'patch', slope_bound: float = 3.0):
+                       warp_impl: str = 'tiled', slope_bound: float = 3.0):
     """`augment_batch` over the batch dict the data pipeline ships
     (sample_spec keys) — the one unpacking shared by every jitted caller."""
     return augment_batch(
