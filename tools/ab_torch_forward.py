@@ -87,7 +87,13 @@ def main():
                            modules=modules, n_stacks=args.n_stacks,
                            cnv_dim=args.cnv_dim, compute_dtype='float32')
     replica = TNet(base_cfg)
-    ecfg = EvalConfig(long_edge=args.long_edge, batch_size=args.batch_size)
+    # flip_test MUST be off: EvalConfig defaults it ON (the reference's
+    # headline protocol), but the torch side here decodes single-scale — the
+    # round-5 trained-weights run exposed that the default silently made
+    # this comparison flip-vs-noflip (found by bisecting a 0/100
+    # record-set-agreement result down to make_infer_fn's flip_test arg)
+    ecfg = EvalConfig(long_edge=args.long_edge, batch_size=args.batch_size,
+                      flip_test=False)
     sk = SkeletonConfig()
 
     def load_preprocessed(img_id, normalize):
