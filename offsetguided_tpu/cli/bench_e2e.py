@@ -124,7 +124,7 @@ def main():
             'n_images': len(ids),
             'n_results': len(results),
             'io_workers': args.io_workers,
-            'batch_size': 1 if args.fixed_height else args.batch_size,
+            'batch_size': args.batch_size,
             **extra,
         }))
 

@@ -7,7 +7,10 @@ Reference counterpart: evaluate.py:125-328. Differences by design:
   fixed-height mode pads width up to a multiple of `EvalConfig.width_bucket`
   (default 256, a multiple of max_stride), so the whole epoch compiles at
   most ceil(max_width / width_bucket) distinct programs instead of one per
-  distinct 128-multiple width (reference context: evaluate.py:141-154).
+  distinct 128-multiple width (reference context: evaluate.py:141-154), and
+  bucketing also enables BATCHED fixed-height eval (the reference is stuck
+  at batch 1 there): images are ordered by aspect ratio and batched within
+  each padded shape, flushing a partial batch at bucket boundaries.
 - flip-test doubles the batch inside the jitted function (no host concat);
 - decode runs fully on device; only final (max_poses, J, 6) pose tensors come
   back to host for the inverse transform and COCO json records.
@@ -176,7 +179,20 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
 
     skeleton = skeleton or SkeletonConfig()
     ids = eval_image_ids(coco, n_images=n_images, all_images=all_images)
-    batch_size = 1 if cfg.fixed_height else cfg.batch_size
+    batch_size = cfg.batch_size
+    if cfg.fixed_height and batch_size > 1:
+        # The reference runs fixed-height at batch 1 out of necessity (every
+        # image has its own width, evaluate.py:141-154); width BUCKETING
+        # makes same-shape batches possible. Order images by aspect ratio so
+        # same-padded-width images are consecutive — the dispatch loop
+        # flushes a partial batch whenever the padded shape changes, so at
+        # most n_buckets partial batches per epoch. Per-image decode is
+        # batch-independent (eval BN uses running stats), so records are
+        # identical to batch-1 (tested); COCO metrics don't depend on
+        # evaluation order.
+        ids = sorted(ids, key=lambda i: (
+            lambda inf: inf['width'] / max(inf['height'], 1))(
+                coco.image_info(i)))
     infer = make_infer_fn(model, variables, pp, cfg.flip_test)
 
     results: List[Dict] = []
@@ -232,6 +248,14 @@ def run_images(model, variables, pp: PostProcessor, coco: CocoJson,
                                     skeleton.n_keypoints * 3).tolist(),
                                 'score': 0.01})
             else:
+                if batch_imgs and fimg.shape != batch_imgs[0].shape:
+                    # fixed-height: padded width changed — flush the partial
+                    # same-shape batch (at most one flush per width bucket
+                    # per epoch thanks to the aspect-ratio ordering)
+                    nxt = dispatch(batch_imgs, batch_metas, batch_ids)
+                    drain()
+                    pending = nxt
+                    batch_imgs, batch_metas, batch_ids = [], [], []
                 batch_imgs.append(fimg)
                 batch_metas.append(meta)
                 batch_ids.append(img_id)

@@ -449,3 +449,68 @@ def test_fixed_height_width_bucketing(tmp_path):
     assert all(s[2] % 64 == 0 for s in seen_shapes), seen_shapes
     # every listed image got a record, including the unreadable one
     assert {r['image_id'] for r in results} == {1, 2, 3, 4, 99}
+
+
+def test_fixed_height_batched_matches_batch1(tmp_path):
+    """Width bucketing makes BATCHED fixed-height eval possible (the
+    reference is stuck at batch 1: every image has its own width,
+    evaluate.py:141-154). Records must be identical to the batch-1 run —
+    per-image decode is batch-independent — with same-shape images batched
+    together and partial batches flushed at bucket boundaries."""
+    import json as _json
+    from offsetguided_tpu.data.coco import CocoJson
+    from offsetguided_tpu.decoder import PostProcessor
+    from offsetguided_tpu.eval import harness
+    from offsetguided_tpu.models import PoseNet
+
+    img_dir = tmp_path / 'images'
+    img_dir.mkdir()
+    rng = np.random.RandomState(1)
+    # aspect mix: 5 images over 2 width buckets (interleaved on purpose --
+    # the harness must reorder by aspect, not rely on input order)
+    widths = [100, 220, 110, 230, 100]
+    images, anns = [], []
+    for i, w in enumerate(widths, start=1):
+        name = f'{i:06d}.jpg'
+        cv2.imwrite(str(img_dir / name),
+                    (rng.rand(100, w, 3) * 255).astype(np.uint8))
+        images.append({'id': i, 'file_name': name, 'height': 100,
+                       'width': w})
+        kps = []
+        for j in range(17):
+            kps += [float(10 + (j % 5) * 8), float(10 + (j // 5) * 9), 2]
+        anns.append({'id': i, 'image_id': i, 'category_id': 1,
+                     'keypoints': kps, 'num_keypoints': 17, 'iscrowd': 0,
+                     'bbox': [8.0, 8.0, 40.0, 40.0], 'area': 1600.0,
+                     'segmentation': [[8.0, 8.0, 48.0, 8.0, 48.0, 48.0,
+                                       8.0, 48.0]]})
+    ann_file = tmp_path / 'ann.json'
+    ann_file.write_text(_json.dumps({
+        'images': images, 'annotations': anns,
+        'categories': [{'id': 1, 'name': 'person'}]}))
+
+    cfg = ModelConfig(n_stacks=1, hg_order=2, dims=(8, 8, 12),
+                      modules=(1, 1, 1), cnv_dim=8, compute_dtype='float32',
+                      heads=HeadsConfig())
+    model = PoseNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)), train=False)
+    pp = PostProcessor(cfg=DecoderConfig(topk=4, max_poses=4))
+    coco = CocoJson(str(ann_file))
+
+    def run(batch_size):
+        eval_cfg = EvalConfig(long_edge=64, fixed_height=True, max_stride=32,
+                              width_bucket=64, flip_test=False,
+                              batch_size=batch_size)
+        recs = harness.run_images(model, variables, pp, coco, str(img_dir),
+                                  eval_cfg)
+        by = {}
+        for r in recs:
+            by.setdefault(r['image_id'], set()).add(
+                (tuple(np.round(r['keypoints'], 3)), round(r['score'], 5)))
+        return by
+
+    b1, b3 = run(1), run(3)
+    assert set(b1) == set(b3) == {1, 2, 3, 4, 5}
+    for i in b1:
+        assert b1[i] == b3[i], (i, b1[i], b3[i])
